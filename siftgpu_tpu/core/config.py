@@ -1,0 +1,204 @@
+"""Frozen configuration for the TPU SIFT front end.
+
+Replaces the reference's ambient global mutable state (`GlobalUtil::_*` statics +
+`SiftParam`, SURVEY.md §5.6 ⚠) with one hashable frozen dataclass that is passed
+explicitly and used as a `jax.jit` static argument.  All shapes derived from it
+(octave sizes, window sizes, keypoint capacities) are static Python ints so the
+whole pipeline traces with fixed shapes — the core TPU-first design decision
+(SURVEY.md §7.1).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Tuple
+
+from . import scalespace
+
+__all__ = ["SiftConfig", "MatchConfig"]
+
+
+def _num_octaves(h: int, w: int, min_dim: int) -> int:
+    n = 0
+    while min(h, w) >= min_dim:
+        n += 1
+        h //= 2
+        w //= 2
+    return max(n, 1)
+
+
+@dataclasses.dataclass(frozen=True)
+class SiftConfig:
+    """Static SIFT extraction parameters.
+
+    Field name ↔ reference flag parity (SiftGPU `ParseParam` ⚠, SURVEY.md §5.6):
+      dog_levels       ↔ -d     (DoG levels per octave, default 3)
+      dog_threshold    ↔ -t     (contrast threshold, default 0.02/3)
+      edge_threshold   ↔ -e     (Hessian edge curvature ratio, default 10)
+      first_octave     ↔ -fo    (-1 = 2x upsample the input)
+      max_keypoints    ↔ -tc    (feature count cap; ours is a hard static cap)
+      max_orientations ↔ -m     (<=2 orientations per keypoint)
+      subpixel         ↔ -s     (3x3x3 quadratic subpixel refinement)
+      lowe_origin      ↔ -loweo (+0.5 pixel origin convention)
+      unnormalized     ↔ -unn   (skip descriptor normalization)
+      max_dim          ↔ -maxd  (pre-downsample cap on working dimension)
+      max_filter_width ↔ -f     (Gaussian filter width cap)
+    """
+
+    # --- image geometry (static; determines every downstream shape) ---
+    height: int = 480
+    width: int = 640
+    batch: int = 1
+
+    # --- scale space ---
+    dog_levels: int = 3            # S
+    sigma0: float = 1.6
+    sigma_n: float = 0.5
+    first_octave: int = 0          # -1 => upsample input 2x
+    num_octaves: int = 0           # 0 => auto from image size
+    min_octave_dim: int = 16
+    kernel_truncate: float = 4.0   # filter radius = ceil(truncate * sigma)
+    max_filter_width: int = 0      # 0 => uncapped (radius cap, pixels)
+
+    # --- detection ---
+    dog_threshold: float = 0.02 / 3.0
+    edge_threshold: float = 10.0
+    subpixel: bool = True
+    keep_sign: bool = False        # reserved: -sign flag parity
+    border: int = 5                # reject keypoints within `border` px of edge
+
+    # --- keypoint capacities (static buffer sizes; SURVEY §7.1 fixed shapes) ---
+    max_keypoints: int = 2048      # final per-image cap K
+    per_octave_cap: int = 0        # 0 => auto: max(64, max_keypoints >> octave)
+
+    # --- orientation ---
+    max_orientations: int = 2
+    orientation_bins: int = 36
+    orientation_sigma_factor: float = 1.5   # sigma_w = 1.5 * sigma
+    orientation_radius_factor: float = 3.0  # radius = 3 * sigma_w
+    orientation_peak_ratio: float = 0.8
+
+    # --- descriptor ---
+    descriptor_width: int = 4      # 4x4 spatial cells
+    descriptor_bins: int = 8       # orientation bins per cell
+    descriptor_spacing: float = 3.0  # cell size = 3 * sigma (pixels at octave scale)
+    descriptor_samples_per_cell: int = 4  # 16x16 sample grid
+    descriptor_clip: float = 0.2
+    unnormalized: bool = False
+
+    # --- conventions / numerics ---
+    lowe_origin: bool = False
+    pyramid_dtype: str = "float32"
+    use_pallas: bool = True        # Pallas kernels where available, else pure XLA
+
+    # ---------------- derived static geometry ----------------
+
+    @property
+    def gauss_levels(self) -> int:
+        return self.dog_levels + 3
+
+    @property
+    def upsampled(self) -> bool:
+        return self.first_octave < 0
+
+    @property
+    def base_shape(self) -> Tuple[int, int]:
+        """Shape of octave 0 (after optional 2x upsample)."""
+        if self.upsampled:
+            return (self.height * 2, self.width * 2)
+        return (self.height, self.width)
+
+    @property
+    def octaves(self) -> int:
+        if self.num_octaves > 0:
+            return self.num_octaves
+        h, w = self.base_shape
+        return _num_octaves(h, w, self.min_octave_dim)
+
+    def octave_shape(self, o: int) -> Tuple[int, int]:
+        h, w = self.base_shape
+        return (max(h >> o, 1), max(w >> o, 1))
+
+    def octave_scale(self, o: int) -> float:
+        """Multiply octave-local coordinates by this to get input-image coords."""
+        return float(2 ** (o + self.first_octave))
+
+    def octave_cap(self, o: int) -> int:
+        """Static keypoint capacity for octave `o` (pre-orientation-split)."""
+        if self.per_octave_cap > 0:
+            cap = self.per_octave_cap
+        else:
+            cap = max(64, self.max_keypoints >> o)
+        # never more candidates than pixels in the detect volume
+        h, w = self.octave_shape(o)
+        return int(min(cap, self.dog_levels * h * w))
+
+    @property
+    def total_candidate_cap(self) -> int:
+        """Sum of per-octave caps times orientation multiplicity."""
+        return sum(self.octave_cap(o) for o in range(self.octaves)) * self.max_orientations
+
+    @property
+    def max_detect_sigma(self) -> float:
+        return scalespace.max_detect_sigma(self.dog_levels, self.sigma0)
+
+    @property
+    def orient_window_radius(self) -> int:
+        """Static radius of the orientation gather window (covers max sigma)."""
+        r = self.orientation_radius_factor * self.orientation_sigma_factor
+        return int(math.ceil(r * self.max_detect_sigma))
+
+    @property
+    def descriptor_grid(self) -> int:
+        """Samples per side of the rotated descriptor sampling grid (e.g. 16)."""
+        return self.descriptor_width * self.descriptor_samples_per_cell
+
+    @property
+    def descriptor_dim(self) -> int:
+        return self.descriptor_width * self.descriptor_width * self.descriptor_bins
+
+    # ---------------- schedules (NumPy, shared with oracle) ----------------
+
+    def level_sigmas(self):
+        return scalespace.level_sigmas(self.dog_levels, self.sigma0)
+
+    def incremental_sigmas(self):
+        return scalespace.incremental_sigmas(self.dog_levels, self.sigma0)
+
+    def initial_blur_sigma(self) -> float:
+        return scalespace.initial_blur_sigma(self.sigma0, self.sigma_n, self.upsampled)
+
+    def gaussian_taps(self, sigma: float):
+        return scalespace.gaussian_taps(sigma, self.kernel_truncate, self.max_filter_width)
+
+    # ---------------- construction helpers ----------------
+
+    @classmethod
+    def for_image(cls, height: int, width: int, **kw) -> "SiftConfig":
+        return cls(height=height, width=width, **kw)
+
+    def replace(self, **kw) -> "SiftConfig":
+        return dataclasses.replace(self, **kw)
+
+
+@dataclasses.dataclass(frozen=True)
+class MatchConfig:
+    """Static matcher parameters (SiftMatchGPU analog ⚠, SURVEY.md §2.1).
+
+    `GetSiftMatch(max_match, distmax=0.7, ratiomax=0.8, mutual_best=1)` parity:
+    distances are angular (arccos of the dot product of L2-normalized
+    descriptors), thresholds in radians.
+    """
+
+    max_sift: int = 4096           # SetMaxSift analog: descriptor capacity
+    max_match: int = 4096          # output match-buffer capacity
+    dist_max: float = 0.7          # max angular distance (radians)
+    ratio_max: float = 0.8         # best/second-best angle ratio
+    mutual_best: bool = True
+    metric: str = "angular"        # "angular" (reference) or "l2"
+    block: int = 512               # streaming matcher block size
+    use_pallas: bool = True
+
+    def replace(self, **kw) -> "MatchConfig":
+        return dataclasses.replace(self, **kw)

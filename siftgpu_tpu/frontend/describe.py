@@ -1,0 +1,162 @@
+"""128-D SIFT descriptor: rotated 16x16 bilinear resample + trilinear binning.
+
+TPU-native replacement for `ProgramCU::ComputeDescriptor`/`NormalizeDescriptor`
+(SURVEY.md §2.4 item 6 ⚠).  The reference iterates over the (sigma-dependent,
+dynamically sized) pixel support of each 4x4 cell; the TPU-first formulation
+resamples the gradient field on a FIXED G x G grid (G = 16) rotated to the
+keypoint orientation, spaced 3*sigma/G_cell pixels — the standard GPU-SIFT
+variant (static shapes, pure gathers + matmuls).
+
+Because the sample grid is fixed in cell units, the spatial bilinear weights
+(wr, wc) and the Gaussian window (gw) are CONSTANT [G, 4] / [G, G] matrices:
+binning reduces to mag -> 8-way orientation split -> two tiny constant
+contractions, all MXU-friendly.  Only the gradient gather and the relative
+angle depend on the keypoint.
+
+Quantization: clamp(floor(512 * v + 0.5), 0, 255) after normalize -> clip
+0.2 -> renormalize (reference convention, SURVEY §2.4).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import SiftConfig
+from .orient import GradStack
+
+__all__ = ["compute_descriptors", "finalize_descriptors"]
+
+_TWO_PI = 6.283185307179586
+
+
+@lru_cache(maxsize=None)
+def _grid_constants(G: int, D: int, spc: int):
+    """Constant sample-grid tensors: (u, v [G], wr/wc [G, D], gw [G, G])."""
+    half = (G - 1) / 2.0
+    t = np.arange(G) - half                       # grid coords, sample units
+    cell = t / spc + (D - 1) / 2.0                # continuous cell coordinate
+    w = np.zeros((G, D), np.float32)
+    c0 = np.floor(cell).astype(int)
+    fc = (cell - c0).astype(np.float32)
+    for i in range(G):
+        if 0 <= c0[i] < D:
+            w[i, c0[i]] += 1.0 - fc[i]
+        if 0 <= c0[i] + 1 < D:
+            w[i, c0[i] + 1] += fc[i]
+    sig = D / 2.0
+    r = (cell - (D - 1) / 2.0) ** 2
+    gw = np.exp(-(r[:, None] + r[None, :]) / (2.0 * sig * sig)).astype(np.float32)
+    return t.astype(np.float32), w, gw
+
+
+def _descriptor_chunk(grads: GradStack, y, x, sigma, theta, lvl, cfg: SiftConfig):
+    """Raw (pre-normalization) descriptors for a chunk. y..lvl: [B, C]."""
+    G = cfg.descriptor_grid
+    D = cfg.descriptor_width
+    NB = cfg.descriptor_bins
+    B, C = y.shape
+    Hp, Wp = grads.gx.shape[-2:]
+
+    t, wrc, gw = _grid_constants(G, D, cfg.descriptor_samples_per_cell)
+    t = jnp.asarray(t)
+    wrc = jnp.asarray(wrc)
+    gw = jnp.asarray(gw)
+
+    spc = cfg.descriptor_spacing * sigma / cfg.descriptor_samples_per_cell  # [B,C]
+    u = t[None, None, None, :] * spc[..., None, None]      # [B, C, 1, G] (cols)
+    v = t[None, None, :, None] * spc[..., None, None]      # [B, C, G, 1] (rows)
+    ct = jnp.cos(theta)[..., None, None]
+    st = jnp.sin(theta)[..., None, None]
+    px = x[..., None, None] + ct * u - st * v              # [B, C, G, G]
+    py = y[..., None, None] + st * u + ct * v
+
+    inb = (px >= 0) & (px <= grads.w - 1) & (py >= 0) & (py <= grads.h - 1)
+    x0 = jnp.clip(jnp.floor(px).astype(jnp.int32), 0, Wp - 1)
+    y0 = jnp.clip(jnp.floor(py).astype(jnp.int32), 0, Hp - 1)
+    x1 = jnp.minimum(x0 + 1, Wp - 1)
+    y1 = jnp.minimum(y0 + 1, Hp - 1)
+    fx = jnp.clip(px - x0, 0.0, 1.0)
+    fy = jnp.clip(py - y0, 0.0, 1.0)
+
+    base = (lvl[..., None, None] * Hp * Wp).astype(jnp.int32)  # [B, C, 1, 1]
+    gxf = grads.gx.reshape(B, -1)
+    gyf = grads.gy.reshape(B, -1)
+
+    def bilerp(flat):
+        def g(yi, xi):
+            idx = (base + yi * Wp + xi).reshape(B, -1)
+            return jnp.take_along_axis(flat, idx, axis=1).reshape(B, C, G, G)
+        return (
+            g(y0, x0) * (1 - fy) * (1 - fx)
+            + g(y0, x1) * (1 - fy) * fx
+            + g(y1, x0) * fy * (1 - fx)
+            + g(y1, x1) * fy * fx
+        )
+
+    sgx = bilerp(gxf)
+    sgy = bilerp(gyf)
+    mag = jnp.sqrt(sgx * sgx + sgy * sgy) * inb            # [B, C, G, G]
+    ang = (jnp.arctan2(sgy, sgx) - theta[..., None, None]) % _TWO_PI
+    ob = ang * (NB / _TWO_PI)
+    o0 = jnp.clip(jnp.floor(ob).astype(jnp.int32), 0, NB - 1)
+    fo = ob - jnp.floor(ob)
+
+    m = mag * gw[None, None]
+    oh0 = jax.nn.one_hot(o0, NB, dtype=jnp.float32)
+    oh1 = jax.nn.one_hot((o0 + 1) % NB, NB, dtype=jnp.float32)
+    mo = (m * (1.0 - fo))[..., None] * oh0 + (m * fo)[..., None] * oh1
+
+    desc = jnp.einsum(
+        "bkijo,ir,jc->bkrco", mo, wrc, wrc,
+        precision=jax.lax.Precision.HIGHEST,
+    )                                                      # [B, C, D, D, NB]
+    return desc.reshape(B, C, D * D * NB)
+
+
+def finalize_descriptors(desc: jax.Array, cfg: SiftConfig) -> jax.Array:
+    """normalize -> clip -> renormalize -> uint8 quantize. desc: [..., 128]."""
+    if not cfg.unnormalized:
+        n = jnp.linalg.norm(desc, axis=-1, keepdims=True)
+        desc = desc / jnp.maximum(n, 1e-12)
+        desc = jnp.minimum(desc, cfg.descriptor_clip)
+        n = jnp.linalg.norm(desc, axis=-1, keepdims=True)
+        desc = desc / jnp.maximum(n, 1e-12)
+    return jnp.clip(jnp.floor(512.0 * desc + 0.5), 0, 255).astype(jnp.uint8)
+
+
+def compute_descriptors(
+    grads: GradStack,
+    y: jax.Array, x: jax.Array, sigma: jax.Array, theta: jax.Array,
+    grad_level: jax.Array, cfg: SiftConfig, chunk: int = 512,
+) -> jax.Array:
+    """All inputs [B, K2] (orientation axis pre-flattened). -> uint8 [B, K2, 128].
+
+    Chunked over keypoints with `lax.map` to bound the [B, chunk, G, G, NB]
+    intermediate (SURVEY §7.4: memory, not FLOPs, is the constraint here).
+    """
+    B, K2 = y.shape
+    lvl = grad_level - 1
+    pad = (-K2) % chunk
+    if pad:
+        zf = lambda a: jnp.pad(a, ((0, 0), (0, pad)))
+        y, x, sigma, theta = map(zf, (y, x, sigma, theta))
+        lvl = jnp.pad(lvl, ((0, 0), (0, pad)))
+    nc = y.shape[1] // chunk
+
+    def to_chunks(a):
+        return jnp.moveaxis(a.reshape(B, nc, chunk), 1, 0)
+
+    args = tuple(map(to_chunks, (y, x, sigma, theta, lvl)))
+
+    def body(a):
+        cy, cx, cs, cth, cl = a
+        return _descriptor_chunk(grads, cy, cx, cs, cth, cl, cfg)
+
+    out = jax.lax.map(body, args)                  # [nc, B, chunk, 128]
+    out = jnp.moveaxis(out, 0, 1).reshape(B, nc * chunk, -1)[:, :K2]
+    return finalize_descriptors(out, cfg)

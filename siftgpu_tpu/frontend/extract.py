@@ -1,0 +1,114 @@
+"""Full feature extraction: the `SiftPyramid::RunSIFT` template method analog.
+
+Stage contract preserved from the reference (SURVEY.md §3.1 ⚠):
+  BuildPyramid -> DetectKeypointsEX -> GenerateFeatureList ->
+  GetFeatureOrientations -> (ReshapeFeatureListCPU) -> descriptors ->
+  DownloadKeypoints
+— but with zero device->host boundaries: every stage operates on
+fixed-capacity padded buffers with validity masks, and the whole pipeline is
+one traced XLA program.  `extract_features` is jit-compiled with the frozen
+`SiftConfig` as a static argument; the batch axis is the outer axis and can be
+sharded over a `data` mesh axis (SURVEY §7.1).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.config import SiftConfig
+from . import describe, detect, orient, pyramid
+
+__all__ = ["Features", "extract_features", "extract_features_jit"]
+
+
+class Features(NamedTuple):
+    """Padded per-image feature buffers (the `GetFeatureVector` analog).
+
+    Keypoint fields are in INPUT-image coordinates (octave scaling applied,
+    `DownloadKeypoints` coordinate-fixup analog ⚠ SURVEY §2.1).
+    """
+
+    x: jax.Array         # [B, K] float32
+    y: jax.Array         # [B, K]
+    sigma: jax.Array     # [B, K]
+    theta: jax.Array     # [B, K] radians in [0, 2pi)
+    response: jax.Array  # [B, K] |DoG| at the keypoint
+    octave: jax.Array    # [B, K] int32 (index into cfg octaves, 0-based)
+    desc: jax.Array      # [B, K, 128] uint8
+    mask: jax.Array      # [B, K] bool
+
+    @property
+    def count(self):
+        return self.mask.sum(axis=-1).astype(jnp.int32)
+
+    @property
+    def keypoints(self):
+        """[B, K, 4] (x, y, sigma, theta) — SiftKeypoint struct layout ⚠."""
+        return jnp.stack([self.x, self.y, self.sigma, self.theta], axis=-1)
+
+
+def extract_features(images: jax.Array, cfg: SiftConfig) -> Features:
+    """images: [B, H, W] grayscale float in [0, 1] -> Features with K =
+    cfg.max_keypoints, ordered by response (desc), padded entries masked."""
+    B = images.shape[0]
+    pyr = pyramid.build_pyramid(images, cfg)
+
+    xs, ys, sigmas, thetas, resps, octs, descs, masks = ([] for _ in range(8))
+    for o, oc in enumerate(pyr):
+        cap = cfg.octave_cap(o)
+        kp = detect.detect_octave(oc, cfg, cap)
+        grads = orient.gradient_stack(oc.gauss, cfg)
+        theta, valid = orient.compute_orientations(grads, kp, cfg)   # [B,cap,n]
+        n = cfg.max_orientations
+
+        def dup(a):
+            return jnp.repeat(a[..., None], n, axis=-1).reshape(B, cap * n)
+
+        y2, x2, s2, gl2, r2 = map(dup, (kp.y, kp.x, kp.sigma, kp.grad_level, kp.response))
+        th2 = theta.reshape(B, cap * n)
+        m2 = valid.reshape(B, cap * n)
+        d2 = describe.compute_descriptors(grads, y2, x2, s2, th2, gl2, cfg)
+
+        scale = cfg.octave_scale(o)
+        shift = 0.5 if cfg.lowe_origin else 0.0
+        xs.append((x2 + shift) * scale)
+        ys.append((y2 + shift) * scale)
+        sigmas.append(s2 * scale)
+        thetas.append(th2)
+        resps.append(r2)
+        octs.append(jnp.full((B, cap * n), o, jnp.int32))
+        descs.append(d2)
+        masks.append(m2)
+
+    cat = lambda parts: jnp.concatenate(parts, axis=1)
+    x, y, s, th, r, oc_, m = map(cat, (xs, ys, sigmas, thetas, resps, octs, masks))
+    d = cat(descs)
+
+    # global fixed-capacity selection by response (the -tc truncation analog)
+    K = cfg.max_keypoints
+    if m.shape[1] < K:  # tiny images: fewer candidates than the cap
+        pad = K - m.shape[1]
+        pf = lambda a: jnp.pad(a, ((0, 0), (0, pad)))
+        x, y, s, th, r = map(pf, (x, y, s, th, r))
+        oc_ = pf(oc_)
+        m = jnp.pad(m, ((0, 0), (0, pad)), constant_values=False)
+        d = jnp.pad(d, ((0, 0), (0, pad), (0, 0)))
+    score = jnp.where(m, r, -1.0)
+    _, idx = jax.lax.top_k(score, K)
+    take = lambda a: jnp.take_along_axis(a, idx, axis=1)
+    mask = take(m)
+    return Features(
+        x=take(x), y=take(y), sigma=take(s), theta=take(th),
+        response=take(r), octave=take(oc_),
+        desc=jnp.take_along_axis(d, idx[..., None], axis=1),
+        mask=mask,
+    )
+
+
+@partial(jax.jit, static_argnums=1)
+def extract_features_jit(images: jax.Array, cfg: SiftConfig) -> Features:
+    return extract_features(images, cfg)

@@ -1,0 +1,152 @@
+"""Descriptor matching: brute-force best-2 + ratio test, and guided variants.
+
+TPU-native replacement for `SiftMatchGPU` / `ProgramCU::MultiplyDescriptor[G]` +
+`GetRowMatch/GetColMatch` (SURVEY.md §2.4 items 7-8, §3.2 ⚠).  The n0 x n1 x 128
+dot-product volume is MXU work: descriptors are L2-normalized float32 and
+multiplied at HIGHEST precision (uint8 dots up to ~8.4e6 are exact in f32
+accumulation).  Distances are angular — d = arccos(sim) — matching the
+reference's acos + distmax(0.7)/ratiomax(0.8)/mutual-best semantics.
+
+The reference reads best/second rows back to the host and finishes on CPU;
+here selection stays in-graph on fixed-capacity buffers:
+`matches [max_match, 2]` padded with -1 plus an in-graph count.
+
+For capacities up to SetMaxSift's ~8k the full similarity matrix is small
+(64 MB f32 at 4k x 4k) and XLA pipelines it; `ops/match_blocked.py` provides
+the streaming Pallas kernel for larger sets.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..core.config import MatchConfig
+
+__all__ = ["MatchResult", "match_descriptors", "guided_match_descriptors"]
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+class MatchResult(NamedTuple):
+    pairs: jax.Array   # [max_match, 2] int32, -1-padded
+    count: jax.Array   # [] int32
+    dist: jax.Array    # [max_match] angular distance of each pair (padded 0)
+
+
+def _normalize(d: jax.Array) -> jax.Array:
+    f = d.astype(jnp.float32)
+    n = jnp.linalg.norm(f, axis=-1, keepdims=True)
+    return f / jnp.maximum(n, 1e-12)
+
+
+def _best2(ang: jax.Array):
+    """Per-row best & second-best. ang: [N, M] -> (best, second, argbest)."""
+    best_j = jnp.argmin(ang, axis=1)
+    best = jnp.min(ang, axis=1)
+    masked = ang.at[jnp.arange(ang.shape[0]), best_j].set(jnp.inf)
+    second = jnp.min(masked, axis=1)
+    return best, second, best_j
+
+
+def _select(ang, mask0, mask1, cfg: MatchConfig) -> MatchResult:
+    """Fixed-capacity selection from a full angle matrix (masks: valid rows/cols)."""
+    n0 = ang.shape[0]
+    ang = jnp.where(mask0[:, None] & mask1[None, :], ang, jnp.inf)
+    best, second, best_j = _best2(ang)
+    ok = (best < cfg.dist_max) & (best < cfg.ratio_max * second)
+    if cfg.mutual_best:
+        col_best_i = jnp.argmin(ang, axis=0)
+        ok &= col_best_i[best_j] == jnp.arange(n0)
+    ok &= jnp.isfinite(best)
+
+    # compact valid rows into the fixed buffer, preserving row order
+    order = jnp.cumsum(ok) - 1                      # target slot per row
+    slot = jnp.where(ok, order, cfg.max_match)      # invalid -> scratch slot
+    pairs = jnp.full((cfg.max_match + 1, 2), -1, jnp.int32)
+    dist = jnp.zeros((cfg.max_match + 1,), jnp.float32)
+    rows = jnp.arange(n0, dtype=jnp.int32)
+    pairs = pairs.at[slot].set(
+        jnp.stack([rows, best_j.astype(jnp.int32)], axis=1), mode="drop"
+    )
+    dist = dist.at[slot].set(best, mode="drop")
+    count = jnp.minimum(ok.sum(), cfg.max_match).astype(jnp.int32)
+    # rows beyond capacity landed in the scratch slot; mask leftovers
+    valid_slot = jnp.arange(cfg.max_match) < count
+    return MatchResult(
+        pairs=jnp.where(valid_slot[:, None], pairs[: cfg.max_match], -1),
+        count=count,
+        dist=jnp.where(valid_slot, dist[: cfg.max_match], 0.0),
+    )
+
+
+def _angles(d0, d1):
+    sim = jnp.dot(_normalize(d0), _normalize(d1).T, precision=_HI)
+    return jnp.arccos(jnp.clip(sim, -1.0, 1.0))
+
+
+@partial(jax.jit, static_argnums=4)
+def match_descriptors(
+    d0: jax.Array, d1: jax.Array,
+    mask0: Optional[jax.Array] = None, mask1: Optional[jax.Array] = None,
+    cfg: MatchConfig = MatchConfig(),
+) -> MatchResult:
+    """d0: [N0, 128], d1: [N1, 128] (uint8 or float). GetSiftMatch analog."""
+    if mask0 is None:
+        mask0 = jnp.ones(d0.shape[0], bool)
+    if mask1 is None:
+        mask1 = jnp.ones(d1.shape[0], bool)
+    return _select(_angles(d0, d1), mask0, mask1, cfg)
+
+
+def _homography_gate(loc0, loc1, H, hdist_max):
+    """Squared reprojection gate |H x0 - x1|^2 < hdist_max^2. -> [N0, N1] bool."""
+    ones = jnp.ones((loc0.shape[0], 1), loc0.dtype)
+    p = jnp.concatenate([loc0, ones], axis=1) @ H.T
+    z = p[:, 2:]
+    p = p[:, :2] / jnp.maximum(jnp.abs(z), 1e-12) * jnp.sign(z)
+    d2 = ((p[:, None, :] - loc1[None, :, :]) ** 2).sum(-1)
+    return d2 < hdist_max * hdist_max
+
+
+def _epipolar_gate(loc0, loc1, F, fdist_max):
+    """Symmetric epipolar-distance gate via F. -> [N0, N1] bool."""
+    ones0 = jnp.ones((loc0.shape[0], 1), loc0.dtype)
+    ones1 = jnp.ones((loc1.shape[0], 1), loc1.dtype)
+    x0 = jnp.concatenate([loc0, ones0], axis=1)
+    x1 = jnp.concatenate([loc1, ones1], axis=1)
+    l1 = x0 @ F.T                                   # [N0, 3] epiline in image1
+    num = jnp.abs(l1 @ x1.T)                        # [N0, N1]
+    den_a = jnp.sqrt(l1[:, 0] ** 2 + l1[:, 1] ** 2)[:, None]
+    d_a = num / jnp.maximum(den_a, 1e-12)
+    l0 = x1 @ F                                     # [N1, 3] epiline in image0
+    den_b = jnp.sqrt(l0[:, 0] ** 2 + l0[:, 1] ** 2)[None, :]
+    d_b = num / jnp.maximum(den_b, 1e-12)
+    return jnp.maximum(d_a, d_b) < fdist_max
+
+
+@partial(jax.jit, static_argnums=(8, 9, 10))
+def guided_match_descriptors(
+    d0, d1, loc0, loc1,
+    H=None, F=None,
+    mask0: Optional[jax.Array] = None, mask1: Optional[jax.Array] = None,
+    hdist_max: float = 32.0, fdist_max: float = 16.0,
+    cfg: MatchConfig = MatchConfig(),
+) -> MatchResult:
+    """GetGuidedSiftMatch analog: gate pairs by H reprojection / F epipolar
+    distance, fused into the score matrix before best-2 selection."""
+    if mask0 is None:
+        mask0 = jnp.ones(d0.shape[0], bool)
+    if mask1 is None:
+        mask1 = jnp.ones(d1.shape[0], bool)
+    ang = _angles(d0, d1)
+    gate = jnp.ones_like(ang, dtype=bool)
+    if H is not None:
+        gate &= _homography_gate(loc0, loc1, jnp.asarray(H, jnp.float32), hdist_max)
+    if F is not None:
+        gate &= _epipolar_gate(loc0, loc1, jnp.asarray(F, jnp.float32), fdist_max)
+    ang = jnp.where(gate, ang, jnp.inf)
+    return _select(ang, mask0, mask1, cfg)

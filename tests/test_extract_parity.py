@@ -1,0 +1,74 @@
+"""End-to-end extraction parity vs the CPU oracle (BASELINE config 1 analog)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from siftgpu_tpu import SiftConfig, extract_features_jit
+from siftgpu_tpu.oracle import fixtures, sift_cpu
+
+from helpers import angdiff, desc_cosine, features_to_numpy
+
+
+@pytest.fixture(scope="module")
+def parity_case():
+    cfg = SiftConfig(height=80, width=96, max_keypoints=256)
+    img = fixtures.random_texture(80, 96, seed=3)
+    j = features_to_numpy(extract_features_jit(jnp.asarray(img[None]), cfg))
+    o = sift_cpu.extract(img, cfg)
+    return cfg, img, j, o
+
+
+def _pair(o, j, pos_tol=0.5):
+    used, pairs = set(), []
+    for ia in range(len(o["x"])):
+        d2 = (j["x"] - o["x"][ia]) ** 2 + (j["y"] - o["y"][ia]) ** 2
+        cand = [c for c in np.where(d2 < pos_tol**2)[0] if c not in used]
+        if not cand:
+            continue
+        td = np.array([angdiff(o["theta"][ia], j["theta"][c]) for c in cand])
+        ib = cand[int(td.argmin())]
+        used.add(ib)
+        pairs.append((ia, ib))
+    return pairs
+
+
+def test_counts_match(parity_case):
+    _, _, j, o = parity_case
+    assert len(j["x"]) == len(o["x"]) > 20
+
+
+def test_full_parity(parity_case):
+    _, _, j, o = parity_case
+    pairs = _pair(o, j)
+    # repeatability target >= 95% (BASELINE.md); oracle-parity should be ~100%
+    assert len(pairs) >= 0.99 * len(o["x"])
+    tds = np.array([angdiff(o["theta"][ia], j["theta"][ib]) for ia, ib in pairs])
+    assert tds.max() < 1e-3
+    cos = np.array([desc_cosine(o["desc"][ia], j["desc"][ib]) for ia, ib in pairs])
+    assert cos.min() > 0.999
+    sd = np.array([abs(o["sigma"][ia] - j["sigma"][ib]) for ia, ib in pairs])
+    assert sd.max() < 1e-2
+
+
+def test_masked_rows_are_padding(parity_case):
+    cfg, img, _, _ = parity_case
+    feats = extract_features_jit(jnp.asarray(img[None]), cfg)
+    m = np.asarray(feats.mask[0])
+    r = np.asarray(feats.response[0])
+    # all valid rows sort before all invalid rows
+    assert m[: m.sum()].all() and not m[m.sum() :].any()
+    # ordered by response desc among valid entries
+    rv = r[m]
+    assert (np.diff(rv) <= 1e-9).all()
+
+
+def test_batch_matches_single(parity_case):
+    cfg, img, j, _ = parity_case
+    img2 = fixtures.random_texture(80, 96, seed=11)
+    batch = jnp.stack([jnp.asarray(img2), jnp.asarray(img)])
+    feats = extract_features_jit(batch, cfg)
+    m = np.asarray(feats.mask[1])
+    x = np.asarray(feats.x[1])[m]
+    assert len(x) == len(j["x"])
+    np.testing.assert_allclose(np.sort(x), np.sort(j["x"]), atol=1e-4)

@@ -1,0 +1,107 @@
+"""Matcher parity vs the CPU oracle (BASELINE config 2 analog)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from siftgpu_tpu.core.config import MatchConfig
+from siftgpu_tpu.frontend import match as jmatch
+from siftgpu_tpu.oracle import match_cpu
+
+
+def _rand_desc(n, seed):
+    rng = np.random.default_rng(seed)
+    d = rng.random((n, 128)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    d = np.minimum(d, 0.35)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    return np.clip(np.floor(512 * d + 0.5), 0, 255).astype(np.uint8)
+
+
+def _noisy_copy(d, seed, noise=6):
+    rng = np.random.default_rng(seed)
+    return np.clip(
+        d.astype(np.int32) + rng.integers(-noise, noise + 1, d.shape), 0, 255
+    ).astype(np.uint8)
+
+
+def _pairs_set(res):
+    c = int(res.count)
+    p = np.asarray(res.pairs[:c])
+    return set(map(tuple, p.tolist()))
+
+
+def test_match_parity_with_oracle():
+    cfg = MatchConfig(max_match=256)
+    d0 = _rand_desc(100, 1)
+    # build d1: permuted noisy copies of d0 plus distractors
+    perm = np.random.default_rng(2).permutation(100)
+    d1 = np.concatenate([_noisy_copy(d0, 3)[perm], _rand_desc(60, 4)])
+    ref = match_cpu.match(d0, d1, cfg)
+    res = jmatch.match_descriptors(jnp.asarray(d0), jnp.asarray(d1), cfg=cfg)
+    assert _pairs_set(res) == set(map(tuple, ref.tolist()))
+    assert int(res.count) == len(ref) > 80
+    # matched pairs should recover the permutation
+    good = sum(1 for i, ji in ref if perm[ji] == i)
+    assert good >= 0.95 * len(ref)
+
+
+def test_match_respects_masks():
+    cfg = MatchConfig(max_match=64)
+    d0 = _rand_desc(32, 5)
+    d1 = _noisy_copy(d0, 6)
+    m0 = np.ones(32, bool)
+    m0[:10] = False
+    res = jmatch.match_descriptors(
+        jnp.asarray(d0), jnp.asarray(d1), jnp.asarray(m0), None, cfg=cfg
+    )
+    p = np.asarray(res.pairs[: int(res.count)])
+    assert (p[:, 0] >= 10).all()
+
+
+def test_guided_match_homography_gate():
+    cfg = MatchConfig(max_match=256, mutual_best=True)
+    n = 64
+    d0 = _rand_desc(n, 7)
+    d1 = _noisy_copy(d0, 8)
+    rng = np.random.default_rng(9)
+    loc0 = rng.random((n, 2)).astype(np.float32) * 200
+    H = np.array([[1, 0, 5.0], [0, 1, -3.0], [0, 0, 1]], np.float32)
+    loc1 = loc0 + np.array([5.0, -3.0], np.float32)
+    # perturb half the locations far away: gate must kill those pairs
+    loc1_bad = loc1.copy()
+    loc1_bad[: n // 2] += 500.0
+    ref = match_cpu.guided_match(
+        d0, d1, loc0, loc1_bad, H=H, hdist_max=8.0, cfg=cfg
+    )
+    res = jmatch.guided_match_descriptors(
+        jnp.asarray(d0), jnp.asarray(d1), jnp.asarray(loc0), jnp.asarray(loc1_bad),
+        H=jnp.asarray(H), hdist_max=8.0, cfg=cfg,
+    )
+    assert _pairs_set(res) == set(map(tuple, ref.tolist()))
+    p = np.asarray(res.pairs[: int(res.count)])
+    assert (p[:, 0] >= n // 2).all()
+    assert int(res.count) > 0
+
+
+def test_guided_match_epipolar_gate():
+    cfg = MatchConfig(max_match=256)
+    n = 48
+    d0 = _rand_desc(n, 10)
+    d1 = _noisy_copy(d0, 11)
+    rng = np.random.default_rng(12)
+    loc0 = rng.random((n, 2)).astype(np.float32) * 100
+    # pure horizontal-translation stereo: F = [e]_x with e = (1, 0, 0)
+    F = np.array([[0, 0, 0], [0, 0, -1], [0, 1, 0]], np.float32)
+    loc1 = loc0 + np.array([10.0, 0.0], np.float32)     # same row -> epipolar ok
+    loc1_bad = loc1.copy()
+    loc1_bad[: n // 3, 1] += 50.0                        # off-row -> gated out
+    ref = match_cpu.guided_match(
+        d0, d1, loc0, loc1_bad, F=F, fdist_max=2.0, cfg=cfg
+    )
+    res = jmatch.guided_match_descriptors(
+        jnp.asarray(d0), jnp.asarray(d1), jnp.asarray(loc0), jnp.asarray(loc1_bad),
+        F=jnp.asarray(F), fdist_max=2.0, cfg=cfg,
+    )
+    assert _pairs_set(res) == set(map(tuple, ref.tolist()))
+    p = np.asarray(res.pairs[: int(res.count)])
+    assert (p[:, 0] >= n // 3).all()
