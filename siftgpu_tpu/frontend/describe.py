@@ -75,7 +75,10 @@ def _descriptor_chunk(grads: GradStack, y, x, sigma, theta, lvl, cfg: SiftConfig
     px = x[..., None, None] + ct * u - st * v              # [B, C, G, G]
     py = y[..., None, None] + st * u + ct * v
 
-    inb = (px >= 0) & (px <= grads.w - 1) & (py >= 0) & (py <= grads.h - 1)
+    # in-bounds test in GLOBAL image coordinates (y0/global_h handle spatially
+    # sharded slabs; on a single chip y0 = 0 and global_h = h)
+    py_g = py + grads.y0
+    inb = (px >= 0) & (px <= grads.w - 1) & (py_g >= 0) & (py_g <= grads.global_h - 1)
     x0 = jnp.clip(jnp.floor(px).astype(jnp.int32), 0, Wp - 1)
     y0 = jnp.clip(jnp.floor(py).astype(jnp.int32), 0, Hp - 1)
     x1 = jnp.minimum(x0 + 1, Wp - 1)

@@ -65,7 +65,12 @@ def _pool8(x: jax.Array, op) -> jax.Array:
     return out
 
 
-def detect_octave(oc: Octave, cfg: SiftConfig, cap: int) -> OctaveKeypoints:
+def detect_octave(
+    oc: Octave, cfg: SiftConfig, cap: int, owned_rows=None
+) -> OctaveKeypoints:
+    """`owned_rows=(lo, hi)` restricts candidates to slab rows [lo, hi) —
+    used by the spatially-sharded path so halo-region extrema neither consume
+    top-k capacity nor get double-counted across shards."""
     dog = oc.dog                       # [B, S+2, H, W]
     B, L, H, W = dog.shape
     S = cfg.dog_levels
@@ -97,7 +102,11 @@ def detect_octave(oc: Octave, cfg: SiftConfig, cap: int) -> OctaveKeypoints:
     xx = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
     interior = (yy >= 1) & (yy <= H - 2) & (xx >= 1) & (xx <= W - 2)
 
-    score = jnp.abs(v) * (is_ext & edge_ok & interior[None, None])
+    keep = is_ext & edge_ok & interior[None, None]
+    if owned_rows is not None:
+        lo, hi = owned_rows
+        keep &= (yy[None, None] >= lo) & (yy[None, None] < hi)
+    score = jnp.abs(v) * keep
     score_flat = score.reshape(B, S * H * W)
 
     # --- fixed-capacity compaction ---

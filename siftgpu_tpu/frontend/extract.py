@@ -51,42 +51,37 @@ class Features(NamedTuple):
         return jnp.stack([self.x, self.y, self.sigma, self.theta], axis=-1)
 
 
-def extract_features(images: jax.Array, cfg: SiftConfig) -> Features:
-    """images: [B, H, W] grayscale float in [0, 1] -> Features with K =
-    cfg.max_keypoints, ordered by response (desc), padded entries masked."""
-    B = images.shape[0]
-    pyr = pyramid.build_pyramid(images, cfg)
+def octave_candidates(
+    oc, cfg: SiftConfig, cap: int, y0=None, global_h=None, owned_rows=None
+):
+    """Detect + orient + describe one octave.  Returns a dict of [B, cap *
+    max_orientations] arrays in OCTAVE-LOCAL coordinates (y/x relative to the
+    given slab; `y0`/`global_h` thread global-image bounds through for
+    spatially sharded slabs).  Shared by the single-chip and spatial paths."""
+    B = oc.gauss.shape[0]
+    kp = detect.detect_octave(oc, cfg, cap, owned_rows=owned_rows)
+    grads = orient.gradient_stack(oc.gauss, cfg, y0=y0, global_h=global_h)
+    theta, valid = orient.compute_orientations(grads, kp, cfg)       # [B,cap,n]
+    n = cfg.max_orientations
 
-    xs, ys, sigmas, thetas, resps, octs, descs, masks = ([] for _ in range(8))
-    for o, oc in enumerate(pyr):
-        cap = cfg.octave_cap(o)
-        kp = detect.detect_octave(oc, cfg, cap)
-        grads = orient.gradient_stack(oc.gauss, cfg)
-        theta, valid = orient.compute_orientations(grads, kp, cfg)   # [B,cap,n]
-        n = cfg.max_orientations
+    def dup(a):
+        return jnp.repeat(a[..., None], n, axis=-1).reshape(B, cap * n)
 
-        def dup(a):
-            return jnp.repeat(a[..., None], n, axis=-1).reshape(B, cap * n)
+    y2, x2, s2, gl2, r2 = map(dup, (kp.y, kp.x, kp.sigma, kp.grad_level, kp.response))
+    th2 = theta.reshape(B, cap * n)
+    m2 = valid.reshape(B, cap * n)
+    d2 = describe.compute_descriptors(grads, y2, x2, s2, th2, gl2, cfg)
+    return dict(y=y2, x=x2, sigma=s2, theta=th2, response=r2, mask=m2, desc=d2)
 
-        y2, x2, s2, gl2, r2 = map(dup, (kp.y, kp.x, kp.sigma, kp.grad_level, kp.response))
-        th2 = theta.reshape(B, cap * n)
-        m2 = valid.reshape(B, cap * n)
-        d2 = describe.compute_descriptors(grads, y2, x2, s2, th2, gl2, cfg)
 
-        scale = cfg.octave_scale(o)
-        shift = 0.5 if cfg.lowe_origin else 0.0
-        xs.append((x2 + shift) * scale)
-        ys.append((y2 + shift) * scale)
-        sigmas.append(s2 * scale)
-        thetas.append(th2)
-        resps.append(r2)
-        octs.append(jnp.full((B, cap * n), o, jnp.int32))
-        descs.append(d2)
-        masks.append(m2)
-
-    cat = lambda parts: jnp.concatenate(parts, axis=1)
-    x, y, s, th, r, oc_, m = map(cat, (xs, ys, sigmas, thetas, resps, octs, masks))
-    d = cat(descs)
+def assemble_features(parts, cfg: SiftConfig) -> Features:
+    """parts: per-octave dicts with IMAGE-coordinate fields + 'octave'.
+    Concatenates and applies the global fixed-capacity top-k selection."""
+    cat = lambda k: jnp.concatenate([p[k] for p in parts], axis=1)
+    x, y, s, th, r = map(cat, ("x", "y", "sigma", "theta", "response"))
+    m = cat("mask")
+    oc_ = cat("octave")
+    d = cat("desc")
 
     # global fixed-capacity selection by response (the -tc truncation analog)
     K = cfg.max_keypoints
@@ -107,6 +102,30 @@ def extract_features(images: jax.Array, cfg: SiftConfig) -> Features:
         desc=jnp.take_along_axis(d, idx[..., None], axis=1),
         mask=mask,
     )
+
+
+def to_image_coords(cand: dict, cfg: SiftConfig, o: int, B: int) -> dict:
+    """Octave-local candidate dict -> image-coordinate dict (+ octave field)."""
+    scale = cfg.octave_scale(o)
+    shift = 0.5 if cfg.lowe_origin else 0.0
+    out = dict(cand)
+    out["x"] = (cand["x"] + shift) * scale
+    out["y"] = (cand["y"] + shift) * scale
+    out["sigma"] = cand["sigma"] * scale
+    out["octave"] = jnp.full(cand["mask"].shape, o, jnp.int32)
+    return out
+
+
+def extract_features(images: jax.Array, cfg: SiftConfig) -> Features:
+    """images: [B, H, W] grayscale float in [0, 1] -> Features with K =
+    cfg.max_keypoints, ordered by response (desc), padded entries masked."""
+    B = images.shape[0]
+    pyr = pyramid.build_pyramid(images, cfg)
+    parts = []
+    for o, oc in enumerate(pyr):
+        cand = octave_candidates(oc, cfg, cfg.octave_cap(o))
+        parts.append(to_image_coords(cand, cfg, o, B))
+    return assemble_features(parts, cfg)
 
 
 @partial(jax.jit, static_argnums=1)

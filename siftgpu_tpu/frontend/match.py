@@ -88,6 +88,19 @@ def _angles(d0, d1):
     return jnp.arccos(jnp.clip(sim, -1.0, 1.0))
 
 
+def match_descriptors_impl(
+    d0: jax.Array, d1: jax.Array,
+    mask0: Optional[jax.Array] = None, mask1: Optional[jax.Array] = None,
+    cfg: MatchConfig = MatchConfig(),
+) -> MatchResult:
+    """Unjitted implementation (composable inside larger jitted programs)."""
+    if mask0 is None:
+        mask0 = jnp.ones(d0.shape[0], bool)
+    if mask1 is None:
+        mask1 = jnp.ones(d1.shape[0], bool)
+    return _select(_angles(d0, d1), mask0, mask1, cfg)
+
+
 @partial(jax.jit, static_argnums=4)
 def match_descriptors(
     d0: jax.Array, d1: jax.Array,
@@ -95,11 +108,7 @@ def match_descriptors(
     cfg: MatchConfig = MatchConfig(),
 ) -> MatchResult:
     """d0: [N0, 128], d1: [N1, 128] (uint8 or float). GetSiftMatch analog."""
-    if mask0 is None:
-        mask0 = jnp.ones(d0.shape[0], bool)
-    if mask1 is None:
-        mask1 = jnp.ones(d1.shape[0], bool)
-    return _select(_angles(d0, d1), mask0, mask1, cfg)
+    return match_descriptors_impl(d0, d1, mask0, mask1, cfg)
 
 
 def _homography_gate(loc0, loc1, H, hdist_max):

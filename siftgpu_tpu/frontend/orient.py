@@ -29,14 +29,24 @@ _TWO_PI = 6.283185307179586
 
 class GradStack(NamedTuple):
     """Gradients of Gaussian levels 1..S, zero-padded to at least the
-    orientation window so window slices are always in range."""
+    orientation window so window slices are always in range.
+
+    For spatially-sharded slabs (parallel/spatial.py), `y0` is the global row
+    of slab row 0 (may be a traced per-shard scalar) and `global_h` the full
+    image height at this octave; window/sample pixels outside the TRUE image
+    are masked exactly like the single-chip path excludes them."""
     gx: jax.Array      # [B, S, Hp, Wp]
     gy: jax.Array      # [B, S, Hp, Wp]
-    h: int             # real (unpadded) height
-    w: int             # real width
+    h: int             # slab (unpadded) height
+    w: int             # width
+    y0: jax.Array      # [] global row offset of slab row 0 (0 on single chip)
+    global_h: int      # full-image height at this octave
 
 
-def gradient_stack(gauss: jax.Array, cfg: SiftConfig) -> GradStack:
+def gradient_stack(
+    gauss: jax.Array, cfg: SiftConfig, y0: jax.Array | None = None,
+    global_h: int | None = None,
+) -> GradStack:
     """gauss: [B, S+3, H, W] -> central-difference grads of levels 1..S."""
     g = gauss[:, 1 : cfg.dog_levels + 1].astype(jnp.float32)
     B, S, H, W = g.shape
@@ -48,12 +58,25 @@ def gradient_stack(gauss: jax.Array, cfg: SiftConfig) -> GradStack:
     gx = gx.at[:, :, :, -1].set(g[:, :, :, -1] - g[:, :, :, -2])
     gy = gy.at[:, :, 0, :].set(g[:, :, 1, :] - g[:, :, 0, :])
     gy = gy.at[:, :, -1, :].set(g[:, :, -1, :] - g[:, :, -2, :])
+    if y0 is not None and global_h is not None:
+        # spatially-sharded slab: the TRUE image boundary rows sit interior to
+        # the slab next to replicated halo rows, so the central difference
+        # there evaluates to exactly half the single-chip one-sided diff — x2
+        # restores bit-parity (tests/test_parallel.py).
+        grow = jax.lax.broadcasted_iota(jnp.int32, (H, 1), 0) + y0
+        factor = jnp.where((grow == 0) | (grow == global_h - 1), 2.0, 1.0)
+        gy = gy * factor[None, None]
+
     win = 2 * cfg.orient_window_radius + 1
     ph, pw = max(0, win - H), max(0, win - W)
     if ph or pw:
         gx = jnp.pad(gx, ((0, 0), (0, 0), (0, ph), (0, pw)))
         gy = jnp.pad(gy, ((0, 0), (0, 0), (0, ph), (0, pw)))
-    return GradStack(gx=gx, gy=gy, h=H, w=W)
+    return GradStack(
+        gx=gx, gy=gy, h=H, w=W,
+        y0=jnp.zeros((), jnp.int32) if y0 is None else y0,
+        global_h=H if global_h is None else global_h,
+    )
 
 
 def _hist_onehot(w: jax.Array, bins: jax.Array, nb: int, chunk: int = 128) -> jax.Array:
@@ -118,6 +141,11 @@ def compute_orientations(
     radius = cfg.orientation_radius_factor * sw
     wgt = jnp.exp(-r2 / (2.0 * (sw**2)[..., None, None]))
     wgt = jnp.where(r2 <= (radius**2)[..., None, None], wgt, 0.0)
+    # exclude pixels outside the TRUE image (no-op single chip; exact for
+    # spatially sharded slabs whose halos extend past the image boundary)
+    gy_row = sy[..., None].astype(jnp.int32) + jnp.arange(win, dtype=jnp.int32)
+    row_ok = (gy_row + grads.y0 >= 0) & (gy_row + grads.y0 < grads.global_h)
+    wgt = wgt * row_ok[..., :, None]
 
     mag = jnp.sqrt(wx * wx + wy * wy)
     ang = jnp.arctan2(wy, wx) % _TWO_PI

@@ -1,0 +1,3 @@
+from . import epipolar, pose
+
+__all__ = ["epipolar", "pose"]

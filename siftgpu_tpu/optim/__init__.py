@@ -1,0 +1,3 @@
+from . import ba
+
+__all__ = ["ba"]

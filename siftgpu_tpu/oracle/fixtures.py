@@ -10,7 +10,10 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["gaussian_blob_image", "checkerboard", "random_texture", "warp_affine"]
+__all__ = [
+    "gaussian_blob_image", "checkerboard", "random_texture", "warp_affine",
+    "warp_homography", "two_plane_stereo",
+]
 
 
 def gaussian_blob_image(h, w, blobs, background=0.0):
@@ -45,6 +48,69 @@ def random_texture(h, w, seed=0, smooth=2):
     for i, t in enumerate(k):
         out += t * pad[i : i + h, smooth:-smooth or None]
     return out
+
+
+def warp_homography(img, H, out_shape=None):
+    """Inverse-warp `img` by the 3x3 homography H (x' ~ H x), bilinear.
+    Returns (warped, valid_mask)."""
+    h, w = out_shape or img.shape
+    Hh, Ww = img.shape
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    Hinv = np.linalg.inv(H)
+    sx = Hinv[0, 0] * xx + Hinv[0, 1] * yy + Hinv[0, 2]
+    sy = Hinv[1, 0] * xx + Hinv[1, 1] * yy + Hinv[1, 2]
+    sz = Hinv[2, 0] * xx + Hinv[2, 1] * yy + Hinv[2, 2]
+    sz = np.where(np.abs(sz) < 1e-12, 1e-12, sz)
+    sx, sy = sx / sz, sy / sz
+    x0 = np.floor(sx).astype(int)
+    y0 = np.floor(sy).astype(int)
+    fx, fy = sx - x0, sy - y0
+    valid = (x0 >= 0) & (y0 >= 0) & (x0 < Ww - 1) & (y0 < Hh - 1)
+    x0c = np.clip(x0, 0, Ww - 2)
+    y0c = np.clip(y0, 0, Hh - 2)
+    out = (
+        img[y0c, x0c] * (1 - fy) * (1 - fx)
+        + img[y0c, x0c + 1] * (1 - fy) * fx
+        + img[y0c + 1, x0c] * fy * (1 - fx)
+        + img[y0c + 1, x0c + 1] * fy * fx
+    )
+    return np.where(valid, out, 0.0).astype(np.float32), valid
+
+
+def two_plane_stereo(h, w, intr, rvec, t, d_near=5.0, d_far=10.0, seed=0):
+    """Synthetic calibrated stereo pair of two fronto-parallel textured planes
+    (top half at depth d_far, bottom half at d_near) — non-degenerate for E.
+
+    intr: (fx, fy, cx, cy); rvec/t: pose of cam1 (x_c1 = R x_c0 + t).
+    Returns (img0, img1, meta) where meta holds K, R, t and plane depths.
+    """
+    fx, fy, cx, cy = intr
+    K = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1.0]])
+    Kinv = np.linalg.inv(K)
+    # local import avoids a jax dependency at fixture module import time
+    from ..geometry.pose import exp_so3
+    import jax.numpy as jnp
+
+    R = np.asarray(exp_so3(jnp.asarray(np.asarray(rvec, np.float64))))
+    n = np.array([0.0, 0.0, 1.0])
+
+    def plane_H(d):
+        return K @ (R + np.outer(t, n) / d) @ Kinv
+
+    tex_far = random_texture(h, w, seed=seed, smooth=2)
+    tex_near = random_texture(h, w, seed=seed + 1, smooth=2)
+    yy = np.mgrid[0:h, 0:w][0]
+    top = yy < h // 2
+    img0 = np.where(top, tex_far, tex_near).astype(np.float32)
+
+    w_far, v_far = warp_homography(np.where(top, tex_far, 0.0).astype(np.float32), plane_H(d_far))
+    w_near, v_near = warp_homography(
+        np.where(~top, tex_near, 0.0).astype(np.float32), plane_H(d_near)
+    )
+    # near plane occludes far where both project
+    img1 = np.where(w_near > 0, w_near, w_far).astype(np.float32)
+    meta = dict(K=K, R=R, t=np.asarray(t, np.float64), d_near=d_near, d_far=d_far)
+    return img0, img1, meta
 
 
 def warp_affine(img, A, t, out_shape=None):

@@ -1,0 +1,97 @@
+"""Multi-chip dry run: one full pipeline step over an n-device mesh.
+
+Exercised by the driver (`__graft_entry__.dryrun_multichip`) on a virtual CPU
+mesh, and by tests/test_parallel.py.  Covers:
+  - data-parallel extraction (batch axis sharded over `data`)
+  - pairwise matching on gathered features
+  - distributed Schur-complement BA over the flattened mesh (`psum` over both
+    axes), with points/observations partitioned across devices
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh
+
+from ..core.config import MatchConfig, SiftConfig
+from ..frontend.match import match_descriptors
+from ..optim import ba
+from . import dist_ba, dp
+
+__all__ = ["run_dryrun"]
+
+
+def _tiny_ba_problem(n_cams=4, n_pts=64, seed=0):
+    from ..geometry.pose import exp_so3
+
+    rng = np.random.default_rng(seed)
+    X = rng.uniform([-2, -2, 6], [2, 2, 10], (n_pts, 3)).astype(np.float32)
+    intr = np.array([200.0, 200.0, 80.0, 60.0], np.float32)
+    cams = np.zeros((n_cams, 6), np.float32)
+    cams[:, 3] = np.arange(n_cams) * 0.3
+    obs_c, obs_p, obs_uv = [], [], []
+    for ci in range(n_cams):
+        R = np.asarray(exp_so3(jnp.asarray(cams[ci, :3])))
+        Xc = X @ R.T + cams[ci, 3:]
+        uv = intr[:2] * Xc[:, :2] / Xc[:, 2:] + intr[2:]
+        obs_c += [ci] * n_pts
+        obs_p += list(range(n_pts))
+        obs_uv += list(uv)
+    cams_noisy = cams + rng.normal(0, 0.01, cams.shape).astype(np.float32)
+    cams_noisy[0] = cams[0]
+    return ba.BAProblem(
+        cams=jnp.asarray(cams_noisy),
+        points=jnp.asarray(X + rng.normal(0, 0.05, X.shape).astype(np.float32)),
+        intrinsics=jnp.asarray(intr),
+        cam_idx=jnp.asarray(obs_c, jnp.int32),
+        pt_idx=jnp.asarray(obs_p, jnp.int32),
+        uv=jnp.asarray(np.stack(obs_uv), jnp.float32),
+        w=jnp.ones(len(obs_c), jnp.float32),
+    )
+
+
+def run_dryrun(n_devices: int) -> None:
+    devs = jax.devices()[:n_devices]
+    assert len(devs) == n_devices, (
+        f"need {n_devices} devices, have {len(jax.devices())}"
+    )
+    d_spatial = 2 if n_devices % 2 == 0 else 1
+    d_data = n_devices // d_spatial
+    mesh = Mesh(
+        np.array(devs).reshape(d_data, d_spatial), axis_names=("data", "spatial")
+    )
+
+    # --- 1. data-parallel extraction on tiny frames ---
+    B, H, W = d_data * 2, 64, 80
+    rng = np.random.default_rng(0)
+    frames = jnp.asarray(rng.random((B, H, W)), jnp.float32)
+    cfg = SiftConfig(height=H, width=W, max_keypoints=128, num_octaves=2)
+    feats = dp.extract_features_dp(frames, cfg, mesh, axis="data")
+    jax.block_until_ready(feats.mask)
+
+    # --- 2. spatially-sharded extraction (halo exchange over `spatial`) ---
+    if d_spatial > 1:
+        from . import spatial
+
+        sfeats = spatial.extract_features_spatial(
+            frames[:2], cfg, mesh, axis="spatial"
+        )
+        jax.block_until_ready(sfeats.mask)
+
+    # --- 3. pairwise matching ---
+    mcfg = MatchConfig(max_match=128)
+    res = match_descriptors(
+        feats.desc[0], feats.desc[1], feats.mask[0], feats.mask[1], mcfg
+    )
+    jax.block_until_ready(res.count)
+
+    # --- 4. distributed BA over the flattened mesh ---
+    flat_mesh = Mesh(np.array(devs), axis_names=("ba",))
+    prob = _tiny_ba_problem()
+    sprob = dist_ba.partition_problem(prob, n_devices)
+    state, _ = dist_ba.run_ba_distributed(
+        sprob, flat_mesh, axis="ba", iters=3, n_cg=10
+    )
+    jax.block_until_ready(state.cams)

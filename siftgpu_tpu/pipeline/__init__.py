@@ -1,0 +1,3 @@
+from . import twoview
+
+__all__ = ["twoview"]
