@@ -12,10 +12,22 @@ from .frontend.extract import Features, extract_features, extract_features_jit
 
 __version__ = "0.1.0"
 
+
+def __getattr__(name):
+    # lazy: the class façades pull in the full pipeline stack
+    if name in ("SiftTPU", "SiftMatchTPU"):
+        from .pipeline import api
+
+        return getattr(api, name)
+    raise AttributeError(name)
+
+
 __all__ = [
     "SiftConfig",
     "MatchConfig",
     "Features",
     "extract_features",
     "extract_features_jit",
+    "SiftTPU",
+    "SiftMatchTPU",
 ]

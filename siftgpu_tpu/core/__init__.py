@@ -1,4 +1,4 @@
 from .config import MatchConfig, SiftConfig
-from . import scalespace
+from . import flags, image, scalespace
 
-__all__ = ["SiftConfig", "MatchConfig", "scalespace"]
+__all__ = ["SiftConfig", "MatchConfig", "flags", "image", "scalespace"]

@@ -1,0 +1,105 @@
+"""Reference CLI-flag parser (`SiftGPU::ParseParam` analog, SURVEY.md §5.6 ⚠).
+
+Maps the documented reference flags onto `SiftConfig` field overrides; unlike
+the reference these do NOT mutate global state — `parse_flags` returns a dict
+consumed by `SiftConfig`/`SiftTPU`.
+
+Supported (flag -> field):
+  -fo <n>      first_octave (-1 = 2x upsample)
+  -d <n>       dog_levels
+  -t <x>       dog_threshold
+  -e <x>       edge_threshold
+  -m [<n>]     max_orientations (bare -m => 2)
+  -s [<0|1>]   subpixel (bare -s => on)
+  -f <x>       kernel_truncate (filter width factor, default 4)
+  -maxd <n>    max_dim (pre-downsample cap; GlobalUtil::_texMaxDim analog)
+  -tc/-tc1/-tc2/-tc3 <n>  max_keypoints (hard static cap here)
+  -loweo       lowe_origin (+0.5 pixel origin)
+  -unn         unnormalized descriptors
+  -sign        keep_sign
+  -i <path>    input image (stored under "_input_image")
+  -o <path>    output file (stored under "_output_file")
+  -b           binary output (stored under "_output_binary")
+  -v <n>       verbosity (stored under "_verbose")
+Unknown flags are collected under "_unknown" (reference silently ignores ⚠).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence
+
+__all__ = ["parse_flags"]
+
+_VALUED = {
+    "-fo": ("first_octave", int),
+    "-d": ("dog_levels", int),
+    "-t": ("dog_threshold", float),
+    "-e": ("edge_threshold", float),
+    "-f": ("kernel_truncate", float),
+    "-maxd": ("max_dim", int),
+    "-tc": ("max_keypoints", int),
+    "-tc1": ("max_keypoints", int),
+    "-tc2": ("max_keypoints", int),
+    "-tc3": ("max_keypoints", int),
+    "-i": ("_input_image", str),
+    "-o": ("_output_file", str),
+    "-v": ("_verbose", int),
+}
+
+_OPTIONAL_VALUED = {
+    "-m": ("max_orientations", int, 2),
+    "-s": ("subpixel", lambda v: bool(int(v)), True),
+}
+
+_BOOL = {
+    "-loweo": ("lowe_origin", True),
+    "-unn": ("unnormalized", True),
+    "-sign": ("keep_sign", True),
+    "-b": ("_output_binary", True),
+    # backend-selection flags: meaningless here (single XLA backend) but
+    # accepted for drop-in compatibility
+    "-cuda": (None, None),
+    "-glsl": (None, None),
+    "-cl": (None, None),
+    "-pack": (None, None),
+    "-unpack": (None, None),
+    "-lcpu": (None, None),
+    "-noprep": (None, None),
+    "-tight": (None, None),
+    "-exit": (None, None),
+}
+
+
+def parse_flags(argv: Sequence[str]) -> Dict:
+    out: Dict = {}
+    unknown: List[str] = []
+    i = 0
+    argv = list(argv)
+    while i < len(argv):
+        a = argv[i]
+        base = a.split("=")[0]
+        if base in _VALUED:
+            field, conv = _VALUED[base]
+            if "=" in a:
+                out[field] = conv(a.split("=", 1)[1])
+            else:
+                i += 1
+                out[field] = conv(argv[i])
+        elif base in _OPTIONAL_VALUED:
+            field, conv, default = _OPTIONAL_VALUED[base]
+            nxt = argv[i + 1] if i + 1 < len(argv) else None
+            if nxt is not None and not nxt.startswith("-"):
+                i += 1
+                out[field] = conv(nxt)
+            else:
+                out[field] = default
+        elif base in _BOOL:
+            field, val = _BOOL[base]
+            if field:
+                out[field] = val
+        else:
+            unknown.append(a)
+        i += 1
+    if unknown:
+        out["_unknown"] = unknown
+    return out

@@ -15,6 +15,7 @@ import jax.numpy as jnp
 
 __all__ = [
     "exp_so3", "log_so3", "hat",
+    "exp_se3", "log_se3", "compose", "inverse", "relative",
     "triangulate", "decompose_essential", "recover_pose", "TwoViewPose",
 ]
 
@@ -44,7 +45,12 @@ def exp_so3(w: jax.Array) -> jax.Array:
 
 
 def log_so3(R: jax.Array) -> jax.Array:
-    """[..., 3, 3] -> [..., 3] axis-angle (principal branch)."""
+    """[..., 3, 3] -> [..., 3] axis-angle (principal branch).
+
+    Robust at the theta ~ pi singularity: there the skew part vanishes, so
+    the axis is recovered from the symmetric part (outer product aa^T =
+    (R_sym - cos I) / (1 - cos)), taking the column with the largest
+    diagonal for numerically stable, sign-consistent components."""
     tr = jnp.trace(R, axis1=-2, axis2=-1)
     cos = jnp.clip((tr - 1.0) / 2.0, -1.0, 1.0)
     theta = jnp.arccos(cos)
@@ -56,8 +62,78 @@ def log_so3(R: jax.Array) -> jax.Array:
         ],
         -1,
     )
-    s = jnp.where(jnp.abs(theta) < 1e-8, 1.0, theta / jnp.maximum(2 * jnp.sin(theta), 1e-12))
-    return w * s[..., None]
+    # generic branch (theta away from 0 and pi): w_skew = 2 sin(theta) * axis
+    s = jnp.where(
+        jnp.abs(theta) < 1e-8,
+        0.5,
+        theta / jnp.maximum(2.0 * jnp.sin(theta), 1e-12),
+    )
+    w_generic = w * s[..., None]
+
+    # near-pi branch: axis from the symmetric part
+    I = jnp.broadcast_to(jnp.eye(3), R.shape)
+    sym = 0.5 * (R + jnp.swapaxes(R, -1, -2))
+    denom = jnp.maximum(1.0 - cos, 1e-6)[..., None, None]
+    aa = (sym - cos[..., None, None] * I) / denom         # ~ axis axis^T
+    d = jnp.clip(
+        jnp.stack([aa[..., 0, 0], aa[..., 1, 1], aa[..., 2, 2]], -1), 0.0, None
+    )
+    k = jnp.argmax(d, axis=-1)
+    col = jnp.take_along_axis(aa, k[..., None, None].repeat(3, -2), axis=-1)[..., 0]
+    ak = jnp.sqrt(jnp.maximum(jnp.take_along_axis(d, k[..., None], -1)[..., 0], 1e-12))
+    axis = col / ak[..., None]
+    axis = axis / jnp.maximum(jnp.linalg.norm(axis, axis=-1, keepdims=True), 1e-12)
+    # fix overall sign from the (tiny but sign-carrying) skew part; at exactly
+    # pi both signs are equivalent
+    dot = jnp.sum(axis * w, axis=-1, keepdims=True)
+    axis = jnp.where(dot < 0, -axis, axis)
+    w_pi = axis * theta[..., None]
+
+    return jnp.where((theta > 3.0)[..., None], w_pi, w_generic)
+
+
+def _so3_left_jacobian(w: jax.Array) -> jax.Array:
+    """V such that exp_se3([w, v]) has translation V @ v. [..., 3, 3]."""
+    theta = jnp.linalg.norm(w, axis=-1, keepdims=True)[..., None]
+    K = hat(w / jnp.maximum(theta[..., 0], 1e-12))
+    I = jnp.broadcast_to(jnp.eye(3), K.shape)
+    s = jnp.sin(theta)
+    c = jnp.cos(theta)
+    V = I + (1.0 - c) / jnp.maximum(theta, 1e-12) * K \
+        + (theta - s) / jnp.maximum(theta, 1e-12) * (K @ K)
+    return jnp.where(theta < 1e-6, I + 0.5 * hat(w), V)
+
+
+def exp_se3(xi: jax.Array):
+    """[..., 6] (rot, trans) twist -> (R [..., 3, 3], t [..., 3])."""
+    w, v = xi[..., :3], xi[..., 3:]
+    R = exp_so3(w)
+    t = (_so3_left_jacobian(w) @ v[..., None])[..., 0]
+    return R, t
+
+
+def log_se3(R: jax.Array, t: jax.Array) -> jax.Array:
+    """(R, t) -> [..., 6] twist (inverse of exp_se3)."""
+    w = log_so3(R)
+    Vinv = jnp.linalg.inv(_so3_left_jacobian(w))
+    v = (Vinv @ t[..., None])[..., 0]
+    return jnp.concatenate([w, v], axis=-1)
+
+
+def compose(Ra, ta, Rb, tb):
+    """(Ra, ta) o (Rb, tb): x -> Ra (Rb x + tb) + ta."""
+    return Ra @ Rb, (Ra @ tb[..., None])[..., 0] + ta
+
+
+def inverse(R, t):
+    Rt = jnp.swapaxes(R, -1, -2)
+    return Rt, -(Rt @ t[..., None])[..., 0]
+
+
+def relative(Ri, ti, Rj, tj):
+    """T_ij = T_j o T_i^-1 (maps cam_i coordinates to cam_j)."""
+    Rinv, tinv = inverse(Ri, ti)
+    return compose(Rj, tj, Rinv, tinv)
 
 
 def triangulate(

@@ -1,3 +1,3 @@
-from . import ba
+from . import ba, pose_graph
 
-__all__ = ["ba"]
+__all__ = ["ba", "pose_graph"]

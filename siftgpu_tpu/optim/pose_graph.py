@@ -1,0 +1,110 @@
+"""Pose-graph optimization over SE(3) (BASELINE config 5's second half).
+
+Gauss-Newton on relative-pose constraints: for edge (i, j) with measured
+T_ij, residual r = log_se3(T_ij_meas^-1 . T_j . T_i^-1) in R^6, weighted by
+per-edge scalar information.  Small dense normal equations (pose graphs are
+tiny next to BA); per-edge Jacobians by forward-mode autodiff through the
+exp/log maps.  `psum_axis` shards edges across devices with one `psum` of
+(H, b) per iteration — the distributed pose-graph leg of SURVEY §5.8.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry import pose as P
+
+__all__ = ["PoseGraph", "optimize_pose_graph"]
+
+
+class PoseGraph(NamedTuple):
+    poses: jax.Array    # [M, 6] se3 twists (world->cam_i as exp(xi))
+    edge_i: jax.Array   # [E] int32
+    edge_j: jax.Array   # [E] int32
+    t_meas: jax.Array   # [E, 6] measured relative twists T_ij (cam_i -> cam_j)
+    weight: jax.Array   # [E] scalar information (0 masks the edge)
+
+
+def _edge_residual_local(di, dj, Ri, ti, Rj, tj, Rm, tm):
+    """Residual as a function of LOCAL left-multiplicative perturbations
+    (manifold GN: T_i <- exp(di) . T_i), evaluated/differentiated at d = 0.
+    Avoids the exp-chart singularity at |w| = pi that makes global-twist
+    parameterization ill-conditioned."""
+    dRi, dti = P.exp_se3(di)
+    dRj, dtj = P.exp_se3(dj)
+    Ri2, ti2 = P.compose(dRi, dti, Ri, ti)
+    Rj2, tj2 = P.compose(dRj, dtj, Rj, tj)
+    Rrel, trel = P.relative(Ri2, ti2, Rj2, tj2)
+    Rminv, tminv = P.inverse(Rm, tm)
+    Re, te = P.compose(Rminv, tminv, Rrel, trel)
+    return P.log_se3(Re, te)
+
+
+def optimize_pose_graph(
+    g: PoseGraph, iters: int = 10, lam: float = 1e-5,
+    fix_first: bool = True, psum_axis: Optional[str] = None,
+) -> PoseGraph:
+    M = g.poses.shape[0]
+
+    def allred(x):
+        return jax.lax.psum(x, psum_axis) if psum_axis else x
+
+    Rm_all, tm_all = P.exp_se3(g.t_meas)
+    zero6 = jnp.zeros(6)
+
+    def step(carry, _):
+        R_all, t_all = carry
+
+        def per_edge(i, j, Rm, tm, w):
+            args = (R_all[i], t_all[i], R_all[j], t_all[j], Rm, tm)
+            r = _edge_residual_local(zero6, zero6, *args)
+            Ji = jax.jacfwd(_edge_residual_local, argnums=0)(zero6, zero6, *args)
+            Jj = jax.jacfwd(_edge_residual_local, argnums=1)(zero6, zero6, *args)
+            sw = jnp.sqrt(w)
+            return r * sw, Ji * sw, Jj * sw
+
+        r, Ji, Jj = jax.vmap(per_edge)(
+            g.edge_i, g.edge_j, Rm_all, tm_all, g.weight
+        )
+
+        # dense normal equations over all pose blocks
+        H = jnp.zeros((M, 6, M, 6))
+        b = jnp.zeros((M, 6))
+        ii = jnp.einsum("eab,eac->ebc", Ji, Ji)
+        jj = jnp.einsum("eab,eac->ebc", Jj, Jj)
+        ij = jnp.einsum("eab,eac->ebc", Ji, Jj)
+        H = H.at[g.edge_i, :, g.edge_i, :].add(ii)
+        H = H.at[g.edge_j, :, g.edge_j, :].add(jj)
+        H = H.at[g.edge_i, :, g.edge_j, :].add(ij)
+        H = H.at[g.edge_j, :, g.edge_i, :].add(jnp.swapaxes(ij, -1, -2))
+        b = b.at[g.edge_i].add(-jnp.einsum("eab,ea->eb", Ji, r))
+        b = b.at[g.edge_j].add(-jnp.einsum("eab,ea->eb", Jj, r))
+
+        H = allred(H)
+        b = allred(b)
+
+        Hf = H.reshape(6 * M, 6 * M) + lam * jnp.eye(6 * M)
+        bf = b.reshape(6 * M)
+        if fix_first:
+            # freeze pose 0: zero its rows/cols, identity diagonal
+            mask = jnp.arange(6 * M) >= 6
+            Hf = jnp.where(mask[:, None] & mask[None, :], Hf, 0.0)
+            Hf = Hf + jnp.diag(jnp.where(mask, 0.0, 1.0))
+            bf = jnp.where(mask, bf, 0.0)
+        dx = jnp.linalg.solve(Hf, bf).reshape(M, 6)
+        dR, dt = P.exp_se3(dx)
+        R_new, t_new = P.compose(dR, dt, R_all, t_all)
+        return (R_new, t_new), allred((r * r).sum())
+
+    R0, t0 = P.exp_se3(g.poses)
+    (Rf, tf), costs = jax.lax.scan(step, (R0, t0), None, length=iters)
+    return g._replace(poses=P.log_se3(Rf, tf)), costs
+
+
+optimize_pose_graph_jit = partial(jax.jit, static_argnums=(1, 3, 4))(
+    optimize_pose_graph
+)

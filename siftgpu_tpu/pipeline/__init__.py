@@ -1,3 +1,4 @@
-from . import twoview
+from . import api, siftio, twoview
+from .api import SiftMatchTPU, SiftTPU
 
-__all__ = ["twoview"]
+__all__ = ["api", "siftio", "twoview", "SiftTPU", "SiftMatchTPU"]

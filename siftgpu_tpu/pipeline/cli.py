@@ -1,0 +1,221 @@
+"""CLI front end: the demo/app layer analog (SURVEY.md §2.2 ⚠).
+
+Subcommands mirror the reference's demo binaries:
+  extract   -> SimpleSIFT.cpp's extraction half (+ -o .sift output)
+  match     -> SimpleSIFT.cpp's matching half (extract 2 images, match, print)
+  speed     -> speed.cpp (repeat RunSIFT, report ms + Hz)
+  twoview   -> two-view SfM (config 4): E, pose, BA rms
+  dump      -> TestWinGlut viewer analog: write every pyramid stage
+               (gaussian / DoG / gradient magnitude) as PGM files for
+               inspection (§2.2 "GLUT viewer" row)
+
+Reference extraction flags (-fo -d -t -e -m -s -maxd -tc -loweo -unn -b -v)
+are accepted anywhere after the subcommand and forwarded to `parse_flags`.
+
+Usage: python -m siftgpu_tpu <subcommand> [args...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+from ..core import image as imio
+from ..core.flags import parse_flags
+from .api import SiftMatchTPU, SiftTPU
+
+__all__ = ["main"]
+
+
+def _split_flags(args):
+    """Separate known reference flags from argparse args."""
+    known, rest = [], []
+    i = 0
+    from ..core.flags import _BOOL, _OPTIONAL_VALUED, _VALUED
+
+    while i < len(args):
+        a = args[i]
+        base = a.split("=")[0]
+        if base in _VALUED and "=" not in a:
+            known += args[i : i + 2]
+            i += 2
+        elif base in _VALUED or base in _BOOL:
+            known.append(a)
+            i += 1
+        elif base in _OPTIONAL_VALUED:
+            nxt = args[i + 1] if i + 1 < len(args) else None
+            if nxt is not None and not nxt.startswith("-"):
+                known += args[i : i + 2]
+                i += 2
+            else:
+                known.append(a)
+                i += 1
+        else:
+            rest.append(a)
+            i += 1
+    return known, rest
+
+
+def cmd_extract(argv):
+    flags_argv, rest = _split_flags(argv)
+    p = argparse.ArgumentParser(prog="extract")
+    p.add_argument("image")
+    p.add_argument("--out", "-O", default=None)
+    p.add_argument("--npz", default=None)
+    a = p.parse_args(rest)
+    s = SiftTPU(argv=flags_argv)
+    t0 = time.perf_counter()
+    s.run_sift(a.image)
+    n = s.get_feature_num()
+    print(f"{n} features  ({(time.perf_counter() - t0) * 1e3:.1f} ms incl. compile)")
+    out = a.out or s._overrides.get("_output_file")
+    if out:
+        s.save_sift(out)
+        print(f"wrote {out}")
+    if a.npz:
+        from . import siftio
+
+        siftio.save_feature_store(a.npz, s._feats)
+        print(f"wrote {a.npz}")
+    return 0
+
+
+def cmd_match(argv):
+    flags_argv, rest = _split_flags(argv)
+    p = argparse.ArgumentParser(prog="match")
+    p.add_argument("image0")
+    p.add_argument("image1")
+    p.add_argument("--distmax", type=float, default=0.7)
+    p.add_argument("--ratiomax", type=float, default=0.8)
+    a = p.parse_args(rest)
+    s = SiftTPU(argv=flags_argv)
+    s.run_sift(a.image0)
+    k0, d0 = s.get_feature_vector()
+    s.run_sift(a.image1)
+    k1, d1 = s.get_feature_vector()
+    m = SiftMatchTPU(max_sift=max(len(d0), len(d1), 1))
+    m.set_descriptors(0, d0)
+    m.set_descriptors(1, d1)
+    pairs = m.get_sift_match(distmax=a.distmax, ratiomax=a.ratiomax)
+    print(f"{len(d0)} x {len(d1)} features -> {len(pairs)} matches")
+    for i, j in pairs[:20]:
+        print(f"  ({k0[i,0]:7.2f},{k0[i,1]:7.2f}) <-> ({k1[j,0]:7.2f},{k1[j,1]:7.2f})")
+    return 0
+
+
+def cmd_speed(argv):
+    flags_argv, rest = _split_flags(argv)
+    p = argparse.ArgumentParser(prog="speed")
+    p.add_argument("image")
+    p.add_argument("--iters", type=int, default=10)
+    a = p.parse_args(rest)
+    s = SiftTPU(argv=flags_argv)
+    s.run_sift(a.image)  # warm-up / compile
+    s.get_feature_num()  # device sync (dispatch is async)
+    t0 = time.perf_counter()
+    for _ in range(a.iters):
+        s.run_sift(a.image)
+        s.get_feature_num()  # per-iter sync: transfer-based (see profile.py)
+    dt = (time.perf_counter() - t0) / a.iters
+    print(
+        f"{s.get_feature_num()} features, {dt * 1e3:.2f} ms/frame, "
+        f"{1.0 / dt:.1f} Hz (steady-state, {a.iters} iters)"
+    )
+    return 0
+
+
+def cmd_twoview(argv):
+    flags_argv, rest = _split_flags(argv)
+    p = argparse.ArgumentParser(prog="twoview")
+    p.add_argument("image0")
+    p.add_argument("image1")
+    p.add_argument("--focal", type=float, required=True)
+    p.add_argument("--seed", type=int, default=0)
+    a = p.parse_args(rest)
+    import jax
+    import jax.numpy as jnp
+
+    from ..core.config import MatchConfig
+    from . import twoview
+
+    img0 = imio.load_image(a.image0)
+    img1 = imio.load_image(a.image1)
+    assert img0.shape == img1.shape
+    H, W = img0.shape
+    s = SiftTPU(argv=flags_argv)
+    cfg = s.config_for(H, W)
+    intr = jnp.asarray([a.focal, a.focal, W / 2.0, H / 2.0], jnp.float32)
+    res = twoview.two_view_reconstruct(
+        jnp.stack([jnp.asarray(img0), jnp.asarray(img1)]), intr,
+        cfg, MatchConfig(max_match=cfg.max_keypoints), jax.random.PRNGKey(a.seed),
+    )
+    R = np.asarray(res.R)
+    print(f"matches={int(res.num_matches)} inliers={int(res.num_inliers)}")
+    print(f"R=\n{R}")
+    print(f"t={np.asarray(res.t)}  rms={float(res.rms):.3f}px")
+    return 0
+
+
+def cmd_dump(argv):
+    flags_argv, rest = _split_flags(argv)
+    p = argparse.ArgumentParser(prog="dump")
+    p.add_argument("image")
+    p.add_argument("--outdir", default="dump")
+    a = p.parse_args(rest)
+    import os
+
+    import jax.numpy as jnp
+
+    from ..frontend import orient, pyramid
+
+    os.makedirs(a.outdir, exist_ok=True)
+    s = SiftTPU(argv=flags_argv)
+    img = imio.load_image(a.image)
+    cfg = s.config_for(*img.shape)
+    pyr = pyramid.build_pyramid(jnp.asarray(img[None]), cfg)
+    for o, oc in enumerate(pyr):
+        g = np.asarray(oc.gauss[0])
+        d = np.asarray(oc.dog[0])
+        for l in range(g.shape[0]):
+            imio.save_pgm(f"{a.outdir}/o{o}_gauss{l}.pgm", g[l])
+        for l in range(d.shape[0]):
+            dn = 0.5 + d[l] * 5.0
+            imio.save_pgm(f"{a.outdir}/o{o}_dog{l}.pgm", np.clip(dn, 0, 1))
+        gs = orient.gradient_stack(oc.gauss, cfg)
+        mag = np.hypot(np.asarray(gs.gx[0]), np.asarray(gs.gy[0]))
+        for l in range(mag.shape[0]):
+            imio.save_pgm(f"{a.outdir}/o{o}_gradmag{l}.pgm", np.clip(mag[l] * 4, 0, 1))
+    print(f"wrote pyramid stages to {a.outdir}/")
+    return 0
+
+
+_COMMANDS = {
+    "extract": cmd_extract,
+    "match": cmd_match,
+    "speed": cmd_speed,
+    "twoview": cmd_twoview,
+    "dump": cmd_dump,
+}
+
+
+def main(argv=None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if "--cpu" in argv:
+        # some environments force-register an accelerator platform and ignore
+        # JAX_PLATFORMS (remote compile can take minutes for one-off CLI use);
+        # --cpu forces the CPU backend before any computation.
+        argv.remove("--cpu")
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    if not argv or argv[0] in ("-h", "--help") or argv[0] not in _COMMANDS:
+        print(__doc__)
+        return 0 if argv and argv[0] in ("-h", "--help") else 1
+    return _COMMANDS[argv[0]](argv[1:])
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

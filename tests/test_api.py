@@ -1,0 +1,138 @@
+"""SiftGPU-façade API parity: flags, stateful classes, file IO, descriptor-only."""
+
+import numpy as np
+import pytest
+
+from siftgpu_tpu.core import flags, image as imio
+from siftgpu_tpu.oracle import fixtures
+from siftgpu_tpu.pipeline import siftio
+from siftgpu_tpu.pipeline.api import SiftMatchTPU, SiftTPU
+
+
+def test_parse_flags_reference_names():
+    out = flags.parse_flags(
+        ["-fo", "-1", "-d", "4", "-t", "0.01", "-e", "8", "-m", "-s",
+         "-maxd", "1600", "-tc2", "1000", "-loweo", "-unn", "-b", "-cuda",
+         "-v", "2", "-weird"]
+    )
+    assert out["first_octave"] == -1
+    assert out["dog_levels"] == 4
+    assert out["dog_threshold"] == pytest.approx(0.01)
+    assert out["edge_threshold"] == 8.0
+    assert out["max_orientations"] == 2
+    assert out["subpixel"] is True
+    assert out["max_dim"] == 1600
+    assert out["max_keypoints"] == 1000
+    assert out["lowe_origin"] and out["unnormalized"] and out["_output_binary"]
+    assert out["_verbose"] == 2
+    assert out["_unknown"] == ["-weird"]
+
+
+def test_sift_tpu_facade_end_to_end(tmp_path):
+    img = fixtures.random_texture(80, 96, seed=3)
+    s = SiftTPU(max_keypoints=256)
+    assert s.create_context() == 2
+    assert s.run_sift(img)
+    n = s.get_feature_num()
+    assert n > 20
+    keys, desc = s.get_feature_vector()
+    assert keys.shape == (n, 4) and desc.shape == (n, 128)
+
+    # ascii round-trip
+    p = str(tmp_path / "a.sift")
+    s.save_sift(p)
+    k2, d2 = siftio.read_lowe_ascii(p)
+    np.testing.assert_allclose(k2, keys, atol=1e-5)
+    np.testing.assert_array_equal(d2, desc)
+
+    # binary round-trip
+    pb = str(tmp_path / "b.sift")
+    s.save_sift(pb, binary=True)
+    k3, d3 = siftio.read_binary_sift(pb)
+    np.testing.assert_allclose(k3, keys, atol=1e-6)
+    np.testing.assert_array_equal(d3, desc)
+
+
+def test_sift_match_tpu_facade():
+    img0 = fixtures.random_texture(96, 128, seed=42)
+    img1 = fixtures.warp_affine(img0, np.eye(2), np.array([6.0, -3.0]))
+    s = SiftTPU(max_keypoints=512)
+    s.run_sift(img0)
+    k0, d0 = s.get_feature_vector()
+    s.run_sift(img1)
+    k1, d1 = s.get_feature_vector()
+
+    m = SiftMatchTPU(max_sift=512)
+    m.set_descriptors(0, d0)
+    m.set_descriptors(1, d1)
+    pairs = m.get_sift_match()
+    assert len(pairs) > 20
+    err = np.hypot(
+        k1[pairs[:, 1], 0] - (k0[pairs[:, 0], 0] + 6.0),
+        k1[pairs[:, 1], 1] - (k0[pairs[:, 0], 1] - 3.0),
+    )
+    assert (err < 1.0).mean() > 0.9
+
+    # guided with homography gate must keep only warp-consistent pairs
+    H = np.array([[1, 0, 6.0], [0, 1, -3.0], [0, 0, 1]], np.float32)
+    m.set_feature_location(0, k0)
+    m.set_feature_location(1, k1)
+    gp = m.get_guided_sift_match(H=H, hdistmax=3.0)
+    assert len(gp) > 10
+    err = np.hypot(
+        k1[gp[:, 1], 0] - (k0[gp[:, 0], 0] + 6.0),
+        k1[gp[:, 1], 1] - (k0[gp[:, 0], 1] - 3.0),
+    )
+    assert (err < 3.0).all()
+
+
+def test_descriptor_only_mode_matches_full_pipeline():
+    import jax.numpy as jnp
+
+    from siftgpu_tpu import SiftConfig, extract_features_jit
+    from siftgpu_tpu.frontend.redetect import describe_at_keypoints
+
+    img = fixtures.random_texture(80, 96, seed=9)
+    cfg = SiftConfig(height=80, width=96, max_keypoints=128)
+    f = extract_features_jit(jnp.asarray(img[None]), cfg)
+    m = np.asarray(f.mask[0])
+    keys = np.asarray(f.keypoints[0])[m][:32]
+    ref_desc = np.asarray(f.desc[0])[m][:32]
+
+    out = describe_at_keypoints(
+        jnp.asarray(img[None]), jnp.asarray(keys[None]), cfg
+    )
+    assert bool(np.asarray(out.mask).all())
+    got = np.asarray(out.desc[0])
+    # same sampling path up to sigma->octave/level re-quantization (keypoints
+    # at the octave boundary legitimately resample from the adjacent octave)
+    cos = [
+        float(a.astype(float) @ b.astype(float)
+              / max(np.linalg.norm(a.astype(float)) * np.linalg.norm(b.astype(float)), 1e-9))
+        for a, b in zip(got, ref_desc)
+    ]
+    assert min(cos) > 0.95
+    assert np.mean(cos) > 0.99
+
+
+def test_image_io(tmp_path):
+    rgb = (np.random.default_rng(0).random((20, 30, 3)) * 255).astype(np.uint8)
+    g = imio.to_grayscale(rgb)
+    assert g.shape == (20, 30) and 0 <= g.min() and g.max() <= 1
+
+    p = str(tmp_path / "t.pgm")
+    imio.save_pgm(p, g)
+    back = imio.load_image(p)
+    np.testing.assert_allclose(back, g, atol=1 / 255 + 1e-6)
+
+    big = np.random.default_rng(1).random((64, 96)).astype(np.float32)
+    small = imio.downsample_to_fit(big, 30)
+    assert small.shape == (16, 24)
+
+
+def test_maxd_flag_downsamples():
+    img = fixtures.random_texture(128, 160, seed=5)
+    s = SiftTPU(max_keypoints=128)
+    s.parse_param(["-maxd", "80"])
+    s.run_sift(img)
+    assert s._cfg.height == 64 and s._cfg.width == 80
