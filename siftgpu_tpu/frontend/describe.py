@@ -54,19 +54,11 @@ def _grid_constants(G: int, D: int, spc: int):
     return t.astype(np.float32), w, gw
 
 
-def _descriptor_chunk(grads: GradStack, y, x, sigma, theta, lvl, cfg: SiftConfig):
-    """Raw (pre-normalization) descriptors for a chunk. y..lvl: [B, C]."""
+def _sample_coords(y, x, sigma, theta, cfg: SiftConfig):
+    """Rotated sample-grid coordinates. y..theta: [B, C] -> py, px [B, C, G, G]."""
     G = cfg.descriptor_grid
-    D = cfg.descriptor_width
-    NB = cfg.descriptor_bins
-    B, C = y.shape
-    Hp, Wp = grads.gx.shape[-2:]
-
-    t, wrc, gw = _grid_constants(G, D, cfg.descriptor_samples_per_cell)
+    t, _, _ = _grid_constants(G, cfg.descriptor_width, cfg.descriptor_samples_per_cell)
     t = jnp.asarray(t)
-    wrc = jnp.asarray(wrc)
-    gw = jnp.asarray(gw)
-
     spc = cfg.descriptor_spacing * sigma / cfg.descriptor_samples_per_cell  # [B,C]
     u = t[None, None, None, :] * spc[..., None, None]      # [B, C, 1, G] (cols)
     v = t[None, None, :, None] * spc[..., None, None]      # [B, C, G, 1] (rows)
@@ -74,18 +66,19 @@ def _descriptor_chunk(grads: GradStack, y, x, sigma, theta, lvl, cfg: SiftConfig
     st = jnp.sin(theta)[..., None, None]
     px = x[..., None, None] + ct * u - st * v              # [B, C, G, G]
     py = y[..., None, None] + st * u + ct * v
+    return py, px
 
-    # in-bounds test in GLOBAL image coordinates (y0/global_h handle spatially
-    # sharded slabs; on a single chip y0 = 0 and global_h = h)
-    py_g = py + grads.y0
-    inb = (px >= 0) & (px <= grads.w - 1) & (py_g >= 0) & (py_g <= grads.global_h - 1)
+
+def _bilerp_xla(grads: GradStack, py, px, lvl):
+    """Gather-based bilinear sampling (CPU / fallback path). -> sgx, sgy."""
+    B, C, G, _ = py.shape
+    Hp, Wp = grads.gx.shape[-2:]
     x0 = jnp.clip(jnp.floor(px).astype(jnp.int32), 0, Wp - 1)
     y0 = jnp.clip(jnp.floor(py).astype(jnp.int32), 0, Hp - 1)
     x1 = jnp.minimum(x0 + 1, Wp - 1)
     y1 = jnp.minimum(y0 + 1, Hp - 1)
     fx = jnp.clip(px - x0, 0.0, 1.0)
     fy = jnp.clip(py - y0, 0.0, 1.0)
-
     base = (lvl[..., None, None] * Hp * Wp).astype(jnp.int32)  # [B, C, 1, 1]
     gxf = grads.gx.reshape(B, -1)
     gyf = grads.gy.reshape(B, -1)
@@ -101,8 +94,56 @@ def _descriptor_chunk(grads: GradStack, y, x, sigma, theta, lvl, cfg: SiftConfig
             + g(y1, x1) * fy * fx
         )
 
-    sgx = bilerp(gxf)
-    sgy = bilerp(gyf)
+    return bilerp(gxf), bilerp(gyf)
+
+
+def _bilerp_pallas(grads: GradStack, py, px, lvl, interpret: bool = False):
+    """Pallas window-DMA sampling (the TPU fast path, ops/desc_sampler.py)."""
+    from ..ops import desc_sampler
+
+    B, C, G, _ = py.shape
+    S = grads.gx.shape[1]
+    Hp, Wp = grads.gx.shape[-2:]
+    planes_x = grads.gx.reshape(B * S, Hp, Wp)
+    planes_y = grads.gy.reshape(B * S, Hp, Wp)
+    b_idx = jnp.repeat(jnp.arange(B, dtype=jnp.int32)[:, None], C, axis=1)
+    plane = (b_idx * S + lvl).reshape(B * C)
+    sgx, sgy = desc_sampler.sample_gradients(
+        planes_x, planes_y, plane,
+        py.reshape(B * C, G * G), px.reshape(B * C, G * G),
+        interpret=interpret,
+    )
+    return sgx.reshape(B, C, G, G), sgy.reshape(B, C, G, G)
+
+
+def _descriptor_chunk(
+    grads: GradStack, y, x, sigma, theta, lvl, cfg: SiftConfig,
+    sampler: str = "xla", interpret: bool = False,
+):
+    """Raw (pre-normalization) descriptors for a chunk. y..lvl: [B, C]."""
+    G = cfg.descriptor_grid
+    D = cfg.descriptor_width
+    NB = cfg.descriptor_bins
+    B, C = y.shape
+
+    _, wrc, gw = _grid_constants(G, D, cfg.descriptor_samples_per_cell)
+    wrc = jnp.asarray(wrc)
+    gw = jnp.asarray(gw)
+
+    py, px = _sample_coords(y, x, sigma, theta, cfg)
+
+    # in-bounds test in GLOBAL image coordinates (y0/global_h handle spatially
+    # sharded slabs; on a single chip y0 = 0 and global_h = h)
+    py_g = py + grads.y0
+    inb = (px >= 0) & (px <= grads.w - 1) & (py_g >= 0) & (py_g <= grads.global_h - 1)
+
+    if sampler.startswith("pallas"):
+        sgx, sgy = _bilerp_pallas(
+            grads, py, px, lvl,
+            interpret=interpret or sampler == "pallas_interpret",
+        )
+    else:
+        sgx, sgy = _bilerp_xla(grads, py, px, lvl)
     mag = jnp.sqrt(sgx * sgx + sgy * sgy) * inb            # [B, C, G, G]
     ang = (jnp.arctan2(sgy, sgx) - theta[..., None, None]) % _TWO_PI
     ob = ang * (NB / _TWO_PI)
@@ -132,16 +173,31 @@ def finalize_descriptors(desc: jax.Array, cfg: SiftConfig) -> jax.Array:
     return jnp.clip(jnp.floor(512.0 * desc + 0.5), 0, 255).astype(jnp.uint8)
 
 
+def _pick_sampler(cfg: SiftConfig) -> str:
+    if not cfg.use_pallas:
+        return "xla"
+    try:
+        import jax as _jax
+
+        return "xla" if _jax.default_backend() == "cpu" else "pallas"
+    except Exception:
+        return "xla"
+
+
 def compute_descriptors(
     grads: GradStack,
     y: jax.Array, x: jax.Array, sigma: jax.Array, theta: jax.Array,
     grad_level: jax.Array, cfg: SiftConfig, chunk: int = 512,
+    sampler: str | None = None,
 ) -> jax.Array:
     """All inputs [B, K2] (orientation axis pre-flattened). -> uint8 [B, K2, 128].
 
     Chunked over keypoints with `lax.map` to bound the [B, chunk, G, G, NB]
     intermediate (SURVEY §7.4: memory, not FLOPs, is the constraint here).
+    The gradient sampling inside each chunk uses the Pallas window-DMA kernel
+    on accelerators (cfg.use_pallas) and the XLA gather path on CPU.
     """
+    sampler = sampler or _pick_sampler(cfg)
     B, K2 = y.shape
     lvl = grad_level - 1
     pad = (-K2) % chunk
@@ -158,7 +214,7 @@ def compute_descriptors(
 
     def body(a):
         cy, cx, cs, cth, cl = a
-        return _descriptor_chunk(grads, cy, cx, cs, cth, cl, cfg)
+        return _descriptor_chunk(grads, cy, cx, cs, cth, cl, cfg, sampler=sampler)
 
     out = jax.lax.map(body, args)                  # [nc, B, chunk, 128]
     out = jnp.moveaxis(out, 0, 1).reshape(B, nc * chunk, -1)[:, :K2]

@@ -1,0 +1,3 @@
+from . import desc_sampler
+
+__all__ = ["desc_sampler"]

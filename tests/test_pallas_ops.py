@@ -1,0 +1,84 @@
+"""Pallas kernel parity vs the XLA reference paths (interpret mode on CPU —
+SURVEY §5.2: interpret-mode parity catches OOB/race-style kernel bugs)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from siftgpu_tpu.core.config import SiftConfig
+from siftgpu_tpu.frontend import describe, orient, pyramid
+from siftgpu_tpu.ops import desc_sampler
+from siftgpu_tpu.oracle import fixtures
+
+
+def test_sample_gradients_matches_xla_bilinear():
+    rng = np.random.default_rng(0)
+    P, H, W = 6, 100, 120
+    planes = jnp.asarray(rng.normal(0, 1, (P, H, W)), jnp.float32)
+    N, G2 = 24, 256
+    plane = jnp.asarray(rng.integers(0, P, N), jnp.int32)
+    # clustered sample grids (like real descriptors), all in-bounds
+    cy = rng.uniform(20, H - 20, N)
+    cx = rng.uniform(20, W - 20, N)
+    off = rng.uniform(-15, 15, (N, G2))
+    off2 = rng.uniform(-15, 15, (N, G2))
+    py = jnp.asarray(cy[:, None] + off, jnp.float32)
+    px = jnp.asarray(cx[:, None] + off2, jnp.float32)
+
+    sgx, sgy = desc_sampler.sample_gradients(
+        planes, planes * 2.0, plane, py, px, interpret=True
+    )
+
+    # XLA reference bilinear
+    y0 = jnp.clip(jnp.floor(py).astype(jnp.int32), 0, H - 1)
+    x0 = jnp.clip(jnp.floor(px).astype(jnp.int32), 0, W - 1)
+    y1 = jnp.minimum(y0 + 1, H - 1)
+    x1 = jnp.minimum(x0 + 1, W - 1)
+    fy = py - y0
+    fx = px - x0
+    flat = planes.reshape(P, -1)
+
+    def g(yi, xi):
+        idx = yi * W + xi
+        return jnp.take_along_axis(flat[plane], idx, axis=1)
+
+    ref = (
+        g(y0, x0) * (1 - fy) * (1 - fx) + g(y0, x1) * (1 - fy) * fx
+        + g(y1, x0) * fy * (1 - fx) + g(y1, x1) * fy * fx
+    )
+    # kernel matmuls run in bf16 with f32 accumulation: ~0.4% relative
+    ref = np.asarray(ref)
+    tol = 5e-3 * max(1.0, np.abs(ref).max())
+    np.testing.assert_allclose(np.asarray(sgx), ref, atol=tol)
+    np.testing.assert_allclose(np.asarray(sgy), ref * 2.0, atol=2 * tol)
+
+
+def test_descriptors_pallas_path_matches_xla_path():
+    cfg = SiftConfig(height=96, width=128, max_keypoints=128)
+    img = fixtures.random_texture(96, 128, seed=3)
+    pyr = pyramid.build_pyramid(jnp.asarray(img[None]), cfg)
+    oc = pyr[0]
+    grads = orient.gradient_stack(oc.gauss, cfg)
+
+    rng = np.random.default_rng(1)
+    K = 40
+    y = jnp.asarray(rng.uniform(6, 90, (1, K)), jnp.float32)
+    x = jnp.asarray(rng.uniform(6, 122, (1, K)), jnp.float32)
+    sig = jnp.asarray(rng.uniform(1.7, 3.1, (1, K)), jnp.float32)
+    th = jnp.asarray(rng.uniform(0, 2 * np.pi, (1, K)), jnp.float32)
+    gl = jnp.asarray(rng.integers(1, cfg.dog_levels + 1, (1, K)), jnp.int32)
+
+    d_xla = describe.compute_descriptors(grads, y, x, sig, th, gl, cfg, sampler="xla")
+    d_pls = describe.compute_descriptors(
+        grads, y, x, sig, th, gl, cfg, sampler="pallas_interpret"
+    )
+    diff = np.abs(np.asarray(d_xla).astype(int) - np.asarray(d_pls).astype(int))
+    assert diff.max() <= 3   # bf16 sampling: a few uint8 quantization steps
+    assert (diff > 1).mean() < 0.01
+    # descriptor direction essentially unchanged
+    a = np.asarray(d_xla, np.float64).reshape(-1, 128)
+    b = np.asarray(d_pls, np.float64).reshape(-1, 128)
+    cos = (a * b).sum(1) / np.maximum(
+        np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1), 1e-9
+    )
+    assert cos.min() > 0.9995
