@@ -1,3 +1,3 @@
-from . import epipolar, pose
+from . import align, epipolar, pose
 
-__all__ = ["epipolar", "pose"]
+__all__ = ["align", "epipolar", "pose"]

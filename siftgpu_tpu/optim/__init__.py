@@ -1,3 +1,3 @@
-from . import ba, pose_graph
+from . import ba, pnp, pose_graph
 
-__all__ = ["ba", "pose_graph"]
+__all__ = ["ba", "pnp", "pose_graph"]

@@ -113,6 +113,47 @@ def two_plane_stereo(h, w, intr, rvec, t, d_near=5.0, d_far=10.0, seed=0):
     return img0, img1, meta
 
 
+def two_plane_sequence(n_frames, h, w, intr, rvec_step, t_step,
+                       d_near=5.0, d_far=10.0, seed=0):
+    """Synthetic calibrated monocular sequence over the two-plane scene.
+
+    Frame k is rendered from the canonical (frame-0) textures via per-plane
+    homographies for the pose (k*rvec_step, k*t_step) — exact ground truth
+    for the SLAM loop's ATE metric (SURVEY §4.4).
+    Returns (frames [T, h, w], poses_gt [T, 6] world->cam twists).
+    """
+    import jax.numpy as jnp
+
+    from ..geometry.pose import exp_so3, log_so3
+
+    fx, fy, cx, cy = intr
+    K = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1.0]])
+    Kinv = np.linalg.inv(K)
+    n = np.array([0.0, 0.0, 1.0])
+    tex_far = random_texture(h, w, seed=seed, smooth=2)
+    tex_near = random_texture(h, w, seed=seed + 1, smooth=2)
+    yy = np.mgrid[0:h, 0:w][0]
+    top = yy < h // 2
+    far0 = np.where(top, tex_far, 0.0).astype(np.float32)
+    near0 = np.where(~top, tex_near, 0.0).astype(np.float32)
+
+    frames, poses = [], []
+    for k in range(n_frames):
+        rv = np.asarray(rvec_step, np.float64) * k
+        tv = np.asarray(t_step, np.float64) * k
+        R = np.asarray(exp_so3(jnp.asarray(rv)))
+        w_far, _ = warp_homography(far0, K @ (R + np.outer(tv, n) / d_far) @ Kinv)
+        w_near, _ = warp_homography(near0, K @ (R + np.outer(tv, n) / d_near) @ Kinv)
+        frames.append(np.where(w_near > 0, w_near, w_far).astype(np.float32))
+        # world->cam twist for pose (R, tv)
+        xi = np.concatenate([rv, tv])
+        # log_se3 of (R, tv): rotation part rv is exact; translation needs V^-1
+        from ..geometry.pose import log_se3
+        xi = np.asarray(log_se3(jnp.asarray(R), jnp.asarray(tv)))
+        poses.append(xi)
+    return np.stack(frames), np.stack(poses).astype(np.float32)
+
+
 def warp_affine(img, A, t, out_shape=None):
     """Inverse-warp `img` by x' = A x + t (bilinear). Returns warped image and
     the forward map for ground-truth correspondences."""

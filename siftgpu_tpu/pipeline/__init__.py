@@ -1,4 +1,4 @@
-from . import api, siftio, twoview
+from . import api, siftio, slam, twoview
 from .api import SiftMatchTPU, SiftTPU
 
-__all__ = ["api", "siftio", "twoview", "SiftTPU", "SiftMatchTPU"]
+__all__ = ["api", "siftio", "slam", "twoview", "SiftTPU", "SiftMatchTPU"]

@@ -1,0 +1,320 @@
+"""Incremental monocular SLAM loop (the north-star back end, BASELINE.json:5).
+
+Host-orchestrated sequential loop over jitted fixed-shape device kernels —
+the same structure as production systems: the device does extraction,
+matching, PnP, triangulation and windowed BA; the host does keyframe/map
+bookkeeping (slot allocation) between steps.
+
+Pipeline per frame:
+  extract -> match against the last keyframe -> 2D-3D PnP (robust GN) ->
+  keyframe decision -> [new KF: triangulate unmapped matches, insert map
+  points, windowed Schur-complement BA over the last W keyframes]
+
+World frame = camera 0; monocular scale is fixed by the bootstrap baseline
+(|t| = 1).  Trajectory accuracy is evaluated with Sim(3)-aligned ATE
+(geometry/align.py), matching the BASELINE metric definition.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional
+
+import numpy as np
+
+__all__ = ["SlamConfig", "Keyframe", "SlamResult", "run_slam"]
+
+
+@dataclasses.dataclass(frozen=True)
+class SlamConfig:
+    max_map_points: int = 4096
+    kf_window: int = 4             # windowed BA span (keyframes)
+    kf_min_inliers: int = 80       # new KF when tracking inliers drop below
+    kf_flow_px: float = 12.0       # ... or median flow vs last KF exceeds
+    pnp_iters: int = 10
+    huber_px: float = 3.0
+    inlier_px: float = 3.0
+    ba_iters: int = 6
+    ba_cg: int = 20
+    min_depth: float = 0.05
+    max_depth: float = 1e3
+    tri_reproj_px: float = 2.0
+    # bootstrap parallax requirement: below ~10 px the essential matrix is
+    # rotation-dominated and the initial map is unusable
+    init_flow_px: float = 10.0
+
+
+@dataclasses.dataclass
+class Keyframe:
+    frame_idx: int
+    pose: np.ndarray        # [6] world->cam twist
+    feats: object           # device Features (batch 1)
+    kp: dict                # host copies: x, y, desc, mask
+    pt_ids: np.ndarray      # [K] map slot per keypoint (-1 = none)
+
+
+@dataclasses.dataclass
+class SlamResult:
+    trajectory: np.ndarray  # [T, 6] per-frame world->cam twists
+    keyframe_indices: List[int]
+    map_points: np.ndarray  # [M, 3]
+    map_mask: np.ndarray    # [M]
+    num_tracked: List[int]  # PnP inliers per frame
+
+
+def _host_kp(feats):
+    m = np.asarray(feats.mask[0])
+    return dict(
+        x=np.asarray(feats.x[0]), y=np.asarray(feats.y[0]),
+        desc=feats.desc[0], mask=m,
+    )
+
+
+def run_slam(frames, intr, cfg, mcfg, scfg: SlamConfig,
+             gt_for_debug: Optional[np.ndarray] = None) -> SlamResult:
+    """frames: [T, H, W] float array; intr: (fx, fy, cx, cy)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..frontend.extract import extract_features_jit
+    from ..frontend.match import match_descriptors
+    from ..geometry import epipolar, pose as P
+    from ..optim import ba, pnp
+
+    intr_j = jnp.asarray(intr, jnp.float32)
+    fxy = np.asarray(intr[:2])
+    cxy = np.asarray(intr[2:])
+    T = len(frames)
+    M = scfg.max_map_points
+
+    map_X = np.zeros((M, 3), np.float32)
+    map_mask = np.zeros(M, bool)
+    map_n = 0
+
+    keyframes: List[Keyframe] = []
+    traj = np.zeros((T, 6), np.float32)
+    tracked: List[int] = []
+
+    def extract(t):
+        return extract_features_jit(jnp.asarray(frames[t][None]), cfg)
+
+    def match(fa, fb):
+        res = match_descriptors(fa.desc[0], fb.desc[0], fa.mask[0], fb.mask[0], mcfg)
+        c = int(res.count)
+        return np.asarray(res.pairs[:c])
+
+    def normalized(kp, idx):
+        uv = np.stack([kp["x"][idx], kp["y"][idx]], 1)
+        return (uv - cxy) / fxy, uv
+
+    def rt(tw):
+        R, t = P.exp_se3(jnp.asarray(tw))
+        return np.asarray(R), np.asarray(t)
+
+    def triangulate_pairs(kf: Keyframe, cur_kp, cur_pose, pairs):
+        """Triangulate KF<->current matches; returns world points + accept mask."""
+        Rk, tk = rt(kf.pose)
+        Rc, tc = rt(cur_pose)
+        x0n, _ = normalized(kf.kp, pairs[:, 0])
+        x1n, _ = normalized(cur_kp, pairs[:, 1])
+        X = np.asarray(P.triangulate(
+            jnp.asarray(Rk, jnp.float32), jnp.asarray(tk, jnp.float32),
+            jnp.asarray(Rc, jnp.float32), jnp.asarray(tc, jnp.float32),
+            jnp.asarray(x0n, jnp.float32), jnp.asarray(x1n, jnp.float32),
+        ))
+        zk = X @ Rk.T + tk
+        zc = X @ Rc.T + tc
+        ok = (zk[:, 2] > scfg.min_depth) & (zc[:, 2] > scfg.min_depth)
+        ok &= (zk[:, 2] < scfg.max_depth) & (zc[:, 2] < scfg.max_depth)
+        for (R_, t_, kp_, col) in ((Rk, tk, kf.kp, 0), (Rc, tc, cur_kp, 1)):
+            pr = X @ R_.T + t_
+            pr = fxy * pr[:, :2] / np.maximum(pr[:, 2:], 1e-9) + cxy
+            uv = np.stack([kp_["x"][pairs[:, col]], kp_["y"][pairs[:, col]]], 1)
+            ok &= np.linalg.norm(pr - uv, axis=1) < scfg.tri_reproj_px
+        return X, ok
+
+    def windowed_ba():
+        nonlocal map_X
+        win = keyframes[-scfg.kf_window:]
+        cams = jnp.asarray(np.stack([k.pose for k in win]))
+        obs_c, obs_p, obs_uv = [], [], []
+        for ci, k in enumerate(win):
+            sel = np.nonzero(k.pt_ids >= 0)[0]
+            obs_c += [ci] * len(sel)
+            obs_p += list(k.pt_ids[sel])
+            obs_uv += list(np.stack([k.kp["x"][sel], k.kp["y"][sel]], 1))
+        if len(obs_c) < 10:
+            return
+        prob = ba.BAProblem(
+            cams=cams,
+            points=jnp.asarray(map_X),
+            intrinsics=intr_j,
+            cam_idx=jnp.asarray(obs_c, jnp.int32),
+            pt_idx=jnp.asarray(obs_p, jnp.int32),
+            uv=jnp.asarray(np.stack(obs_uv), jnp.float32),
+            w=jnp.ones(len(obs_c), jnp.float32),
+        )
+        state = ba.run_ba(prob, iters=scfg.ba_iters, n_cg=scfg.ba_cg)
+        new_cams = np.asarray(state.cams)
+        for ci, k in enumerate(win):
+            k.pose = new_cams[ci]
+            traj[k.frame_idx] = new_cams[ci]
+        map_X = np.array(state.points)  # copy: np.asarray of a jax array is read-only
+
+    def add_keyframe(t, feats, kp, pose_tw, mapped_pairs=None, prev_kf=None,
+                     tri_pairs=None):
+        nonlocal map_n, map_X, map_mask
+        K = len(kp["x"])
+        pt_ids = np.full(K, -1, np.int64)
+        if mapped_pairs is not None:
+            for mp, ki in mapped_pairs:
+                pt_ids[ki] = mp
+        kf = Keyframe(frame_idx=t, pose=np.asarray(pose_tw, np.float32),
+                      feats=feats, kp=kp, pt_ids=pt_ids)
+        # triangulate unmapped matches against the previous keyframe
+        if prev_kf is not None and tri_pairs is not None and len(tri_pairs):
+            X, ok = triangulate_pairs(prev_kf, kp, kf.pose, tri_pairs)
+            for j in np.nonzero(ok)[0]:
+                if map_n >= M:
+                    break
+                s = map_n
+                map_X[s] = X[j]
+                map_mask[s] = True
+                map_n += 1
+                prev_kf.pt_ids[tri_pairs[j, 0]] = s
+                kf.pt_ids[tri_pairs[j, 1]] = s
+        keyframes.append(kf)
+        return kf
+
+    # ---------------- bootstrap ----------------
+    f0 = extract(0)
+    kp0 = _host_kp(f0)
+    traj[0] = 0.0
+    kf0 = add_keyframe(0, f0, kp0, np.zeros(6, np.float32))
+    tracked.append(int(kp0["mask"].sum()))
+
+    boot_done = False
+    t = 1
+    key = jax.random.PRNGKey(0)
+    last_pose = np.zeros(6, np.float32)
+    buffered = []   # pre-bootstrap frames, re-localized once the map exists
+    while t < T and not boot_done:
+        ft = extract(t)
+        kpt = _host_kp(ft)
+        pairs = match(f0, ft)
+        if len(pairs) < 16:
+            traj[t] = last_pose
+            tracked.append(0)
+            buffered.append((t, ft, kpt))
+            t += 1
+            continue
+        flow = np.hypot(
+            kpt["x"][pairs[:, 1]] - kp0["x"][pairs[:, 0]],
+            kpt["y"][pairs[:, 1]] - kp0["y"][pairs[:, 0]],
+        )
+        if np.median(flow) < scfg.init_flow_px:
+            traj[t] = last_pose
+            tracked.append(len(pairs))
+            buffered.append((t, ft, kpt))
+            t += 1
+            continue
+        # two-view initialization
+        import jax.numpy as jnp
+
+        x0n, _ = normalized(kp0, pairs[:, 0])
+        x1n, _ = normalized(kpt, pairs[:, 1])
+        f_mean = float(fxy.mean())
+        rr = epipolar.ransac_essential(
+            jnp.asarray(x0n, jnp.float32), jnp.asarray(x1n, jnp.float32),
+            jnp.ones(len(pairs), bool), key,
+            num_hypotheses=256, threshold=(2.0 / f_mean) ** 2,
+        )
+        tv = P.recover_pose(rr.E, jnp.asarray(x0n, jnp.float32),
+                            jnp.asarray(x1n, jnp.float32), rr.inliers)
+        pose_t = np.asarray(P.log_se3(tv.R, tv.t), np.float32)
+        traj[t] = pose_t
+        last_pose = pose_t
+        kf1 = add_keyframe(t, ft, kpt, pose_t, prev_kf=kf0, tri_pairs=pairs)
+        tracked.append(int(tv.num_good))
+        windowed_ba()
+        last_pose = keyframes[-1].pose
+        boot_done = True
+        t += 1
+
+        # retroactively localize buffered pre-bootstrap frames with PnP
+        # against the fresh map (through keyframe 0's keypoint->map ids)
+        for (tb, fb, kpb) in buffered:
+            bp = match(kf0.feats, fb)
+            if not len(bp):
+                continue
+            hm = kf0.pt_ids[bp[:, 0]] >= 0
+            b3 = bp[hm]
+            if len(b3) < 6:
+                continue
+            slots = kf0.pt_ids[b3[:, 0]]
+            uv = np.stack([kpb["x"][b3[:, 1]], kpb["y"][b3[:, 1]]], 1)
+            resb = pnp.pnp_gn(
+                jnp.asarray(map_X[slots]), jnp.asarray(uv, jnp.float32),
+                jnp.ones(len(slots), jnp.float32), intr_j,
+                jnp.zeros(6, jnp.float32), iters=scfg.pnp_iters,
+                huber_px=scfg.huber_px, inlier_px=scfg.inlier_px,
+            )
+            traj[tb] = np.asarray(resb.pose, np.float32)
+            tracked[tb] = int(resb.num_inliers)
+        buffered.clear()
+
+    # ---------------- tracking ----------------
+    vel = np.zeros(6, np.float32)  # constant-velocity model in twist space
+    while t < T:
+        ft = extract(t)
+        kpt = _host_kp(ft)
+        kf = keyframes[-1]
+        pairs = match(kf.feats, ft)
+        # 2D-3D correspondences through the keyframe's map ids
+        has_map = kf.pt_ids[pairs[:, 0]] >= 0 if len(pairs) else np.zeros(0, bool)
+        p3d = pairs[has_map] if len(pairs) else pairs
+        pose_guess = last_pose + vel
+        if len(p3d) >= 6:
+            slots = kf.pt_ids[p3d[:, 0]]
+            uv = np.stack([kpt["x"][p3d[:, 1]], kpt["y"][p3d[:, 1]]], 1)
+            res = pnp.pnp_gn(
+                jnp.asarray(map_X[slots]), jnp.asarray(uv, jnp.float32),
+                jnp.ones(len(slots), jnp.float32), intr_j,
+                jnp.asarray(pose_guess), iters=scfg.pnp_iters,
+                huber_px=scfg.huber_px, inlier_px=scfg.inlier_px,
+            )
+            pose_t = np.asarray(res.pose, np.float32)
+            n_inl = int(res.num_inliers)
+            inl = np.asarray(res.inliers)
+        else:
+            pose_t = pose_guess
+            n_inl = 0
+            inl = np.zeros(len(p3d), bool)
+        vel = 0.5 * vel + 0.5 * (pose_t - last_pose)
+        traj[t] = pose_t
+        last_pose = pose_t
+        tracked.append(n_inl)
+
+        flow = (
+            np.median(np.hypot(
+                kpt["x"][pairs[:, 1]] - kf.kp["x"][pairs[:, 0]],
+                kpt["y"][pairs[:, 1]] - kf.kp["y"][pairs[:, 0]],
+            )) if len(pairs) else np.inf
+        )
+        if n_inl < scfg.kf_min_inliers or flow > scfg.kf_flow_px:
+            mapped = [
+                (kf.pt_ids[i0], i1) for (i0, i1), good in zip(p3d, inl) if good
+            ]
+            unmapped = pairs[~has_map] if len(pairs) else pairs
+            add_keyframe(t, ft, kpt, pose_t, mapped_pairs=mapped,
+                         prev_kf=kf, tri_pairs=unmapped)
+            windowed_ba()
+            last_pose = keyframes[-1].pose
+        t += 1
+
+    return SlamResult(
+        trajectory=traj,
+        keyframe_indices=[k.frame_idx for k in keyframes],
+        map_points=map_X, map_mask=map_mask,
+        num_tracked=tracked,
+    )
