@@ -5,11 +5,13 @@ Prints ONE JSON line:
   {"metric": "keypoints+matches/s per chip", "value": N, "unit": "items/s",
    "vs_baseline": R}
 
-Protocol (BASELINE.md): steady-state after jit warm-up, `block_until_ready`
-timing, per-stage breakdown on stderr.  Workload = BASELINE configs 1-3:
-extraction on a batch of 640x480 frames plus brute-force matching of
-consecutive 2048-descriptor pairs; value = (valid keypoints extracted +
-match pairs emitted) per second on one chip.
+Protocol (BASELINE.md): steady-state after jit warm-up; device sync via a
+1-element host transfer per iteration (`block_until_ready` does NOT wait on
+the axon remote-TPU platform — see pipeline/profile.py); per-stage breakdown
+on stderr.  Workload = BASELINE configs 1-3: extraction on a batch of 640x480
+frames related by known warps plus brute-force matching of consecutive pairs
+(real correspondences, so the matcher's output is nontrivial), and a
+secondary 1080p extraction measurement.
 
 `vs_baseline`: BASELINE.json records no published reference numbers
 ("published": {}, mount empty — SURVEY §6).  We normalize against the
@@ -28,6 +30,10 @@ import time
 import numpy as np
 
 
+def _sync(x):
+    np.asarray(x.ravel()[0:1])
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
@@ -44,51 +50,44 @@ def main() -> None:
     cfg = SiftConfig(height=H, width=W, max_keypoints=K)
     mcfg = MatchConfig(max_sift=K, max_match=K)
 
-    rng = np.random.default_rng(0)
-    frames = np.stack(
-        [fixtures.random_texture(H, W, seed=i, smooth=3) for i in range(B)]
-    )
-    images = jax.device_put(jnp.asarray(frames))
+    base = fixtures.random_texture(H, W, seed=0, smooth=3)
+    frames = [base]
+    for i in range(1, B):   # consecutive frames: known shifts -> real matches
+        frames.append(
+            fixtures.warp_affine(base, np.eye(2), np.array([3.0 * i, -2.0 * i]))
+        )
+    images = jax.device_put(jnp.asarray(np.stack(frames)))
 
-    def step(imgs):
-        feats = extract_features_jit(imgs, cfg)
-        # consecutive-pair matching (frame t vs t+1), SiftMatchGPU workload
-        results = []
-        for t in range(B - 1):
-            results.append(
-                match_descriptors(
-                    feats.desc[t], feats.desc[t + 1],
-                    feats.mask[t], feats.mask[t + 1], mcfg,
-                )
+    def extract():
+        return extract_features_jit(images, cfg)
+
+    def match_pairs(feats):
+        return [
+            match_descriptors(
+                feats.desc[t], feats.desc[t + 1],
+                feats.mask[t], feats.mask[t + 1], mcfg,
             )
-        return feats, results
+            for t in range(B - 1)
+        ]
 
     # warm-up (compile)
     t0 = time.perf_counter()
-    feats, results = step(images)
-    jax.block_until_ready((feats.mask, [r.count for r in results]))
+    feats = extract()
+    _sync(feats.mask)
+    rs = match_pairs(feats)
+    _sync(rs[-1].dist)
     print(f"warm-up (incl. compile): {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
-    # steady state
     iters = 5
-    t_ex = 0.0
-    t_match = 0.0
-    kp_total = 0
-    match_total = 0
+    t_ex = t_match = 0.0
+    kp_total = match_total = 0
     for _ in range(iters):
         t0 = time.perf_counter()
-        feats = extract_features_jit(images, cfg)
-        jax.block_until_ready(feats.mask)
+        feats = extract()
+        _sync(feats.mask)
         t1 = time.perf_counter()
-        rs = []
-        for t in range(B - 1):
-            rs.append(
-                match_descriptors(
-                    feats.desc[t], feats.desc[t + 1],
-                    feats.mask[t], feats.mask[t + 1], mcfg,
-                )
-            )
-        jax.block_until_ready([r.count for r in rs])
+        rs = match_pairs(feats)
+        _sync(rs[-1].dist)
         t2 = time.perf_counter()
         t_ex += t1 - t0
         t_match += t2 - t1
@@ -99,12 +98,35 @@ def main() -> None:
     value = (kp_total + match_total) / elapsed
     fps = iters * B / elapsed
     print(
-        f"extract: {t_ex / iters * 1e3:.1f} ms/iter ({B} frames {W}x{H}), "
-        f"match: {t_match / iters * 1e3:.1f} ms/iter ({B - 1} pairs), "
+        f"640x480: extract {t_ex / iters * 1e3:.1f} ms/iter ({B} frames), "
+        f"match {t_match / iters * 1e3:.1f} ms/iter ({B - 1} pairs), "
         f"{fps:.1f} frames/s, {kp_total // iters} kp/iter, "
         f"{match_total // iters} matches/iter",
         file=sys.stderr,
     )
+
+    # secondary: 1080p extraction (BASELINE config 3)
+    try:
+        H2, W2 = 1088, 1920
+        cfg2 = SiftConfig(height=H2, width=W2, max_keypoints=4096)
+        img2 = jax.device_put(
+            jnp.asarray(fixtures.random_texture(H2, W2, seed=7, smooth=3)[None])
+        )
+        f2 = extract_features_jit(img2, cfg2)
+        _sync(f2.mask)
+        t0 = time.perf_counter()
+        for _ in range(3):
+            f2 = extract_features_jit(img2, cfg2)
+            _sync(f2.mask)
+        dt2 = (time.perf_counter() - t0) / 3
+        print(
+            f"1080p: {dt2 * 1e3:.1f} ms/frame, {1 / dt2:.1f} fps, "
+            f"{int(np.asarray(f2.count)[0])} kp",
+            file=sys.stderr,
+        )
+    except Exception as e:  # pragma: no cover - secondary metric must not kill bench
+        print(f"1080p bench failed: {e}", file=sys.stderr)
+
     print(
         json.dumps(
             {

@@ -89,10 +89,17 @@ def save_pgm(path: str, img: np.ndarray) -> None:
 
 
 def load_image(path) -> np.ndarray:
-    """File path -> grayscale float32 [0, 1]."""
+    """File path -> grayscale float32 [0, 1].  Uses the native C++ decoder
+    (core.native) when available; falls back to the NumPy codecs."""
     if isinstance(path, bytes):
         path = path.decode()
     ext = os.path.splitext(path)[1].lower()
+    if ext in (".pgm", ".ppm", ".pnm", ".bmp"):
+        from . import native
+
+        out = native.load_image(path)
+        if out is not None:
+            return out
     if ext in (".pgm", ".ppm", ".pnm"):
         return to_grayscale(load_pnm(path))
     if ext == ".npy":
