@@ -60,6 +60,7 @@ class SlamResult:
     map_points: np.ndarray  # [M, 3]
     map_mask: np.ndarray    # [M]
     num_tracked: List[int]  # PnP inliers per frame
+    keyframes: Optional[List["Keyframe"]] = None  # host keyframe objects
 
 
 def _host_kp(feats):
@@ -71,8 +72,13 @@ def _host_kp(feats):
 
 
 def run_slam(frames, intr, cfg, mcfg, scfg: SlamConfig,
-             gt_for_debug: Optional[np.ndarray] = None) -> SlamResult:
-    """frames: [T, H, W] float array; intr: (fx, fy, cx, cy)."""
+             gt_for_debug: Optional[np.ndarray] = None,
+             resume=None) -> SlamResult:
+    """frames: [T, H, W] float array; intr: (fx, fy, cx, cy).
+
+    `resume`: a `checkpoint.SlamCheckpoint` — restores the map, trajectory
+    prefix and last keyframe, and continues tracking at its `next_frame`
+    (frames must be the SAME full sequence; SURVEY §5.3 recovery model)."""
     import jax
     import jax.numpy as jnp
 
@@ -186,6 +192,95 @@ def run_slam(frames, intr, cfg, mcfg, scfg: SlamConfig,
         keyframes.append(kf)
         return kf
 
+    def track_loop(t0: int, last_pose: np.ndarray) -> int:
+        """PnP tracking from frame t0 (constant-velocity twist model)."""
+        vel = np.zeros(6, np.float32)
+        t = t0
+        while t < T:
+            ft = extract(t)
+            kpt = _host_kp(ft)
+            kf = keyframes[-1]
+            pairs = match(kf.feats, ft)
+            # 2D-3D correspondences through the keyframe's map ids
+            has_map = (
+                kf.pt_ids[pairs[:, 0]] >= 0 if len(pairs) else np.zeros(0, bool)
+            )
+            p3d = pairs[has_map] if len(pairs) else pairs
+            pose_guess = last_pose + vel
+            if len(p3d) >= 6:
+                slots = kf.pt_ids[p3d[:, 0]]
+                uv = np.stack([kpt["x"][p3d[:, 1]], kpt["y"][p3d[:, 1]]], 1)
+                res = pnp.pnp_gn(
+                    jnp.asarray(map_X[slots]), jnp.asarray(uv, jnp.float32),
+                    jnp.ones(len(slots), jnp.float32), intr_j,
+                    jnp.asarray(pose_guess), iters=scfg.pnp_iters,
+                    huber_px=scfg.huber_px, inlier_px=scfg.inlier_px,
+                )
+                pose_t = np.asarray(res.pose, np.float32)
+                n_inl = int(res.num_inliers)
+                inl = np.asarray(res.inliers)
+            else:
+                pose_t = pose_guess
+                n_inl = 0
+                inl = np.zeros(len(p3d), bool)
+            vel = 0.5 * vel + 0.5 * (pose_t - last_pose)
+            traj[t] = pose_t
+            last_pose = pose_t
+            tracked.append(n_inl)
+
+            flow = (
+                np.median(np.hypot(
+                    kpt["x"][pairs[:, 1]] - kf.kp["x"][pairs[:, 0]],
+                    kpt["y"][pairs[:, 1]] - kf.kp["y"][pairs[:, 0]],
+                )) if len(pairs) else np.inf
+            )
+            if n_inl < scfg.kf_min_inliers or flow > scfg.kf_flow_px:
+                mapped = [
+                    (kf.pt_ids[i0], i1)
+                    for (i0, i1), good in zip(p3d, inl) if good
+                ]
+                unmapped = pairs[~has_map] if len(pairs) else pairs
+                add_keyframe(t, ft, kpt, pose_t, mapped_pairs=mapped,
+                             prev_kf=kf, tri_pairs=unmapped)
+                windowed_ba()
+                last_pose = keyframes[-1].pose
+            t += 1
+        return t
+
+    def _result(_t) -> SlamResult:
+        return SlamResult(
+            trajectory=traj,
+            keyframe_indices=[k.frame_idx for k in keyframes],
+            map_points=map_X, map_mask=map_mask,
+            num_tracked=tracked, keyframes=keyframes,
+        )
+
+    if resume is not None:
+        # restore map + trajectory prefix + last keyframe, skip bootstrap
+        import types
+
+        d = resume.data
+        n0 = int(d["next_frame"])
+        traj[: len(d["trajectory"])] = d["trajectory"][:T]
+        for i, v in enumerate(d["num_tracked"][:n0]):
+            tracked.append(int(v))
+        map_X[:] = d["map_points"]
+        map_mask[:] = d["map_mask"]
+        map_n = int(map_mask.sum())
+        feats_shim = types.SimpleNamespace(
+            desc=jnp.asarray(d["kf_desc"])[None],
+            mask=jnp.asarray(d["kf_mask"])[None],
+        )
+        kf = Keyframe(
+            frame_idx=int(d["kf_frame_idx"]), pose=d["kf_pose"].copy(),
+            feats=feats_shim,
+            kp=dict(x=d["kf_x"], y=d["kf_y"],
+                    desc=jnp.asarray(d["kf_desc"]), mask=d["kf_mask"]),
+            pt_ids=d["kf_pt_ids"].copy(),
+        )
+        keyframes.append(kf)
+        return _result(track_loop(n0, traj[n0 - 1].copy()))
+
     # ---------------- bootstrap ----------------
     f0 = extract(0)
     kp0 = _host_kp(f0)
@@ -264,57 +359,4 @@ def run_slam(frames, intr, cfg, mcfg, scfg: SlamConfig,
         buffered.clear()
 
     # ---------------- tracking ----------------
-    vel = np.zeros(6, np.float32)  # constant-velocity model in twist space
-    while t < T:
-        ft = extract(t)
-        kpt = _host_kp(ft)
-        kf = keyframes[-1]
-        pairs = match(kf.feats, ft)
-        # 2D-3D correspondences through the keyframe's map ids
-        has_map = kf.pt_ids[pairs[:, 0]] >= 0 if len(pairs) else np.zeros(0, bool)
-        p3d = pairs[has_map] if len(pairs) else pairs
-        pose_guess = last_pose + vel
-        if len(p3d) >= 6:
-            slots = kf.pt_ids[p3d[:, 0]]
-            uv = np.stack([kpt["x"][p3d[:, 1]], kpt["y"][p3d[:, 1]]], 1)
-            res = pnp.pnp_gn(
-                jnp.asarray(map_X[slots]), jnp.asarray(uv, jnp.float32),
-                jnp.ones(len(slots), jnp.float32), intr_j,
-                jnp.asarray(pose_guess), iters=scfg.pnp_iters,
-                huber_px=scfg.huber_px, inlier_px=scfg.inlier_px,
-            )
-            pose_t = np.asarray(res.pose, np.float32)
-            n_inl = int(res.num_inliers)
-            inl = np.asarray(res.inliers)
-        else:
-            pose_t = pose_guess
-            n_inl = 0
-            inl = np.zeros(len(p3d), bool)
-        vel = 0.5 * vel + 0.5 * (pose_t - last_pose)
-        traj[t] = pose_t
-        last_pose = pose_t
-        tracked.append(n_inl)
-
-        flow = (
-            np.median(np.hypot(
-                kpt["x"][pairs[:, 1]] - kf.kp["x"][pairs[:, 0]],
-                kpt["y"][pairs[:, 1]] - kf.kp["y"][pairs[:, 0]],
-            )) if len(pairs) else np.inf
-        )
-        if n_inl < scfg.kf_min_inliers or flow > scfg.kf_flow_px:
-            mapped = [
-                (kf.pt_ids[i0], i1) for (i0, i1), good in zip(p3d, inl) if good
-            ]
-            unmapped = pairs[~has_map] if len(pairs) else pairs
-            add_keyframe(t, ft, kpt, pose_t, mapped_pairs=mapped,
-                         prev_kf=kf, tri_pairs=unmapped)
-            windowed_ba()
-            last_pose = keyframes[-1].pose
-        t += 1
-
-    return SlamResult(
-        trajectory=traj,
-        keyframe_indices=[k.frame_idx for k in keyframes],
-        map_points=map_X, map_mask=map_mask,
-        num_tracked=tracked,
-    )
+    return _result(track_loop(t, last_pose))
