@@ -107,15 +107,30 @@ def detect_octave(
         lo, hi = owned_rows
         keep &= (yy[None, None] >= lo) & (yy[None, None] < hi)
     score = jnp.abs(v) * keep
-    score_flat = score.reshape(B, S * H * W)
 
-    # --- fixed-capacity compaction ---
-    top, idx = jax.lax.top_k(score_flat, cap)      # [B, cap]
+    # --- fixed-capacity compaction via EXACT 2x2-pooled top-k ---
+    # Strict 26-neighbor extrema are never 8-adjacent within a slice, so each
+    # 2x2 spatial block holds at most one candidate: top-k over the 4x-smaller
+    # block-max map is exact.  (top_k over the full H*W map dominated 1080p
+    # extraction at ~800 ms; this cuts its input 4x.)
+    He, We = H + (H % 2), W + (W % 2)
+    if (He, We) != (H, W):
+        score_p = jnp.pad(score, ((0, 0), (0, 0), (0, He - H), (0, We - W)))
+    else:
+        score_p = score
+    blocks = score_p.reshape(B, S, He // 2, 2, We // 2, 2)
+    blocks = jnp.moveaxis(blocks, 3, 4).reshape(B, S, He // 2, We // 2, 4)
+    bscore = blocks.max(-1)                          # [B, S, He/2, We/2]
+    barg = jnp.argmax(blocks, axis=-1).astype(jnp.int32)
+    nb = S * (He // 2) * (We // 2)
+    top, bidx = jax.lax.top_k(bscore.reshape(B, nb), cap)   # [B, cap]
     cand = top > 0.0
-    l = idx // (H * W) + 1                          # DoG slice index in [1, S]
-    rem = idx % (H * W)
-    py = rem // W
-    px = rem % W
+    sub = jnp.take_along_axis(barg.reshape(B, nb), bidx, axis=1)
+    l = bidx // ((He // 2) * (We // 2)) + 1          # DoG slice index in [1, S]
+    rem = bidx % ((He // 2) * (We // 2))
+    py = (rem // (We // 2)) * 2 + sub // 2
+    px = (rem % (We // 2)) * 2 + sub % 2
+    # padded rows/cols can never win: their scores are 0 and cand masks them
 
     # --- sparse 3x3x3 patch gather ---
     def slice_one(dog_b, l1, y1, x1):

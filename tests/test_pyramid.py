@@ -40,3 +40,14 @@ def test_batch_axis_independent():
     np.testing.assert_allclose(
         np.asarray(both[1].gauss[1]), np.asarray(solo[1].gauss[0]), atol=1e-6
     )
+
+
+def test_matmul_blur_matches_conv():
+    from siftgpu_tpu.core import scalespace
+
+    img = jnp.asarray(fixtures.random_texture(70, 90, seed=11)[None])
+    for sigma in (1.1, 2.5, 3.2):
+        taps = scalespace.gaussian_taps(sigma)
+        a = pyramid.blur_separable(img, taps, force="conv")
+        b = pyramid.blur_separable(img, taps, force="matmul")
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6)
