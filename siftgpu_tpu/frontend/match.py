@@ -43,25 +43,34 @@ def _normalize(d: jax.Array) -> jax.Array:
     return f / jnp.maximum(n, 1e-12)
 
 
-def _best2(ang: jax.Array):
-    """Per-row best & second-best. ang: [N, M] -> (best, second, argbest)."""
-    best_j = jnp.argmin(ang, axis=1)
-    best = jnp.min(ang, axis=1)
-    masked = ang.at[jnp.arange(ang.shape[0]), best_j].set(jnp.inf)
-    second = jnp.min(masked, axis=1)
+def _best2_sim(sim: jax.Array):
+    """Per-row best & second-best SIMILARITY. sim: [N, M] (higher = closer)."""
+    best_j = jnp.argmax(sim, axis=1)
+    best = jnp.max(sim, axis=1)
+    masked = sim.at[jnp.arange(sim.shape[0]), best_j].set(-jnp.inf)
+    second = jnp.max(masked, axis=1)
     return best, second, best_j
 
 
-def _select(ang, mask0, mask1, cfg: MatchConfig) -> MatchResult:
-    """Fixed-capacity selection from a full angle matrix (masks: valid rows/cols)."""
-    n0 = ang.shape[0]
-    ang = jnp.where(mask0[:, None] & mask1[None, :], ang, jnp.inf)
-    best, second, best_j = _best2(ang)
+def _select(sim, mask0, mask1, cfg: MatchConfig) -> MatchResult:
+    """Fixed-capacity selection from a full SIMILARITY matrix.
+
+    arccos is monotonically decreasing, so best-2/mutual selection runs on
+    raw dot products (no [N, M] transcendental pass — it cost more than the
+    matmul); angles are computed only for the per-row winners to apply the
+    reference's angular distmax/ratiomax thresholds.
+    """
+    n0 = sim.shape[0]
+    sim = jnp.where(mask0[:, None] & mask1[None, :], sim, -jnp.inf)
+    bsim, ssim, best_j = _best2_sim(sim)
+    best = jnp.arccos(jnp.clip(bsim, -1.0, 1.0))
+    second = jnp.arccos(jnp.clip(ssim, -1.0, 1.0))
+    second = jnp.where(jnp.isfinite(ssim), second, jnp.inf)
     ok = (best < cfg.dist_max) & (best < cfg.ratio_max * second)
     if cfg.mutual_best:
-        col_best_i = jnp.argmin(ang, axis=0)
+        col_best_i = jnp.argmax(sim, axis=0)
         ok &= col_best_i[best_j] == jnp.arange(n0)
-    ok &= jnp.isfinite(best)
+    ok &= jnp.isfinite(bsim)
 
     # compact valid rows into the fixed buffer, preserving row order
     order = jnp.cumsum(ok) - 1                      # target slot per row
@@ -83,9 +92,8 @@ def _select(ang, mask0, mask1, cfg: MatchConfig) -> MatchResult:
     )
 
 
-def _angles(d0, d1):
-    sim = jnp.dot(_normalize(d0), _normalize(d1).T, precision=_HI)
-    return jnp.arccos(jnp.clip(sim, -1.0, 1.0))
+def _similarities(d0, d1):
+    return jnp.dot(_normalize(d0), _normalize(d1).T, precision=_HI)
 
 
 def match_descriptors_impl(
@@ -98,7 +106,7 @@ def match_descriptors_impl(
         mask0 = jnp.ones(d0.shape[0], bool)
     if mask1 is None:
         mask1 = jnp.ones(d1.shape[0], bool)
-    return _select(_angles(d0, d1), mask0, mask1, cfg)
+    return _select(_similarities(d0, d1), mask0, mask1, cfg)
 
 
 @partial(jax.jit, static_argnums=4)
@@ -151,11 +159,11 @@ def guided_match_descriptors(
         mask0 = jnp.ones(d0.shape[0], bool)
     if mask1 is None:
         mask1 = jnp.ones(d1.shape[0], bool)
-    ang = _angles(d0, d1)
-    gate = jnp.ones_like(ang, dtype=bool)
+    sim = _similarities(d0, d1)
+    gate = jnp.ones_like(sim, dtype=bool)
     if H is not None:
         gate &= _homography_gate(loc0, loc1, jnp.asarray(H, jnp.float32), hdist_max)
     if F is not None:
         gate &= _epipolar_gate(loc0, loc1, jnp.asarray(F, jnp.float32), fdist_max)
-    ang = jnp.where(gate, ang, jnp.inf)
-    return _select(ang, mask0, mask1, cfg)
+    sim = jnp.where(gate, sim, -jnp.inf)
+    return _select(sim, mask0, mask1, cfg)

@@ -1,0 +1,64 @@
+"""Distributed pose-graph optimization: edges sharded, (H, b) psum'ed.
+
+The second half of BASELINE config 5.  Pose graphs are small relative to BA,
+so the normal equations are dense over all poses; sharding the EDGES across
+devices splits the Jacobian work and needs one `psum` of (H [M,6,M,6],
+b [M,6]) per GN iteration (SURVEY §5.8).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh
+from jax.sharding import PartitionSpec as P
+
+from ..optim import pose_graph as pg
+
+__all__ = ["partition_edges", "optimize_pose_graph_distributed"]
+
+
+def partition_edges(g: pg.PoseGraph, n_shards: int) -> pg.PoseGraph:
+    """Pad edges to a shard-divisible count (weight-0 padding) and return a
+    graph whose edge arrays have a leading shard axis folded in."""
+    e = g.edge_i.shape[0]
+    pad = (-e) % n_shards
+    if pad:
+        g = g._replace(
+            edge_i=jnp.pad(g.edge_i, (0, pad)),
+            edge_j=jnp.pad(g.edge_j, (0, pad)),
+            t_meas=jnp.pad(g.t_meas, ((0, pad), (0, 0))),
+            weight=jnp.pad(g.weight, (0, pad)),
+        )
+    return g
+
+
+def optimize_pose_graph_distributed(
+    g: pg.PoseGraph, mesh: Mesh, axis: str = "pg",
+    iters: int = 10, lam: float = 1e-5, fix_first: bool = True,
+):
+    """Edges sharded over `axis`; poses replicated. Same result as the
+    single-device optimizer (tests/test_parallel.py)."""
+    n = mesh.shape[axis]
+    g = partition_edges(g, n)
+
+    @partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(), P(axis), P(axis), P(axis), P(axis)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    def shard_fn(poses, ei, ej, tm, w):
+        local = pg.PoseGraph(poses=poses, edge_i=ei, edge_j=ej, t_meas=tm, weight=w)
+        out, costs = pg.optimize_pose_graph(
+            local, iters=iters, lam=lam, fix_first=fix_first, psum_axis=axis
+        )
+        return out.poses, costs
+
+    poses, costs = jax.jit(shard_fn)(
+        g.poses, g.edge_i, g.edge_j, g.t_meas, g.weight
+    )
+    return g._replace(poses=poses), costs

@@ -95,3 +95,30 @@ def run_dryrun(n_devices: int) -> None:
         sprob, flat_mesh, axis="ba", iters=3, n_cg=10
     )
     jax.block_until_ready(state.cams)
+
+    # --- 5. distributed pose graph (edges sharded, psum'd normal eqs) ---
+    from ..geometry import pose as P
+    from ..optim import pose_graph as pg
+    from . import dist_pose_graph as dpg
+
+    n_pose = 6
+    poses = jnp.asarray(
+        np.concatenate(
+            [np.zeros((n_pose, 3)), np.linspace(0, 1, n_pose)[:, None] * np.ones((1, 3))],
+            axis=1,
+        ), jnp.float32,
+    )
+    ei = jnp.asarray(np.arange(n_pose - 1), jnp.int32)
+    ej = ei + 1
+    Ri, ti = P.exp_se3(poses[ei])
+    Rj, tj = P.exp_se3(poses[ej])
+    Rr, tr = P.relative(Ri, ti, Rj, tj)
+    graph = pg.PoseGraph(
+        poses=poses + 0.01, edge_i=ei, edge_j=ej,
+        t_meas=P.log_se3(Rr, tr), weight=jnp.ones(n_pose - 1),
+    )
+    pg_mesh = Mesh(np.array(devs), axis_names=("pg",))
+    out, _ = dpg.optimize_pose_graph_distributed(
+        graph, pg_mesh, axis="pg", iters=2
+    )
+    jax.block_until_ready(out.poses)

@@ -36,7 +36,7 @@ from . import siftio
 
 __all__ = [
     "SIFTGPU_FULL_SUPPORTED", "SIFTGPU_NOT_SUPPORTED",
-    "SiftTPU", "SiftMatchTPU",
+    "SiftTPU", "SiftMatchTPU", "ComboSiftTPU",
     "create_new_sift_tpu", "create_new_sift_match_tpu",
 ]
 
@@ -63,10 +63,7 @@ class SiftTPU:
         self._cfg = None  # force re-derive on next run
 
     def config_for(self, height: int, width: int) -> SiftConfig:
-        kw = dict(self._overrides)
-        kw.pop("_input_image", None)
-        kw.pop("_output_file", None)
-        kw.pop("_output_binary", None)
+        kw = {k: v for k, v in self._overrides.items() if not k.startswith("_")}
         maxd = kw.pop("max_dim", 0)
         if maxd:
             while max(height, width) > maxd:
@@ -102,7 +99,21 @@ class SiftTPU:
         self._image = arr
         cfg = self.config_for(*arr.shape)
         self._cfg = cfg
+        verbose = int(self._overrides.get("_verbose", 0))
+        import time as _time
+
+        t0 = _time.perf_counter()
         self._feats = extract_features_jit(jnp.asarray(arr[None]), cfg)
+        if verbose >= 1:  # reference -v 1: totals (SURVEY §5.5 ⚠)
+            n = int(np.asarray(self._feats.count)[0])  # forces device sync
+            print(f"#features: {n}  time: {(_time.perf_counter() - t0) * 1e3:.1f} ms")
+        if verbose >= 2:  # -v 2+: per-stage table (separate stage jits)
+            from . import profile as _profile
+
+            times = _profile.profile_extraction(
+                jnp.asarray(arr[None]), cfg, iters=1, match_pairs=False
+            )
+            print(_profile.format_stage_table(times, batch=1))
         return True
 
     def get_feature_num(self) -> int:
@@ -242,6 +253,28 @@ class SiftMatchTPU:
         )
         c = min(int(res.count), max_match)
         return np.asarray(res.pairs)[:c]
+
+
+class ComboSiftTPU:
+    """`ComboSiftGPU` analog ⚠: one object owning a SiftTPU + SiftMatchTPU
+    pair (the unit the reference's server proxied over TCP; here it is just
+    composition — distribution is SPMD, SURVEY §5.8)."""
+
+    def __init__(self, argv: Optional[Sequence[str]] = None, max_sift: int = 4096):
+        self.sift = SiftTPU(argv=argv)
+        self.matcher = SiftMatchTPU(max_sift=max_sift)
+
+    def match_files(self, path0: str, path1: str, **match_kw):
+        """Extract both images and match (the SimpleSIFT.cpp flow)."""
+        self.sift.run_sift(path0)
+        k0, d0 = self.sift.get_feature_vector()
+        self.sift.run_sift(path1)
+        k1, d1 = self.sift.get_feature_vector()
+        self.matcher.set_descriptors(0, d0)
+        self.matcher.set_descriptors(1, d1)
+        self.matcher.set_feature_location(0, k0)
+        self.matcher.set_feature_location(1, k1)
+        return k0, k1, self.matcher.get_sift_match(**match_kw)
 
 
 def create_new_sift_tpu(np_args: Optional[Sequence[str]] = None) -> SiftTPU:

@@ -136,3 +136,20 @@ def test_maxd_flag_downsamples():
     s.parse_param(["-maxd", "80"])
     s.run_sift(img)
     assert s._cfg.height == 64 and s._cfg.width == 80
+
+
+def test_combo_sift_tpu(tmp_path):
+    from siftgpu_tpu.pipeline.api import ComboSiftTPU
+
+    img0 = fixtures.random_texture(80, 96, seed=13)
+    img1 = fixtures.warp_affine(img0, np.eye(2), np.array([4.0, 2.0]))
+    imio.save_pgm(str(tmp_path / "a.pgm"), img0)
+    imio.save_pgm(str(tmp_path / "b.pgm"), img1)
+    combo = ComboSiftTPU(argv=["-tc", "256"], max_sift=256)
+    k0, k1, pairs = combo.match_files(str(tmp_path / "a.pgm"), str(tmp_path / "b.pgm"))
+    assert len(pairs) > 10
+    err = np.hypot(
+        k1[pairs[:, 1], 0] - (k0[pairs[:, 0], 0] + 4.0),
+        k1[pairs[:, 1], 1] - (k0[pairs[:, 0], 1] + 2.0),
+    )
+    assert (err < 1.0).mean() > 0.9

@@ -90,3 +90,22 @@ def test_dryrun_multichip():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_distributed_pose_graph_matches_single_device():
+    from test_pose_graph import _circle_graph
+
+    from siftgpu_tpu.optim import pose_graph as pg
+    from siftgpu_tpu.parallel import dist_pose_graph as dpg
+
+    g, gt = _circle_graph(seed=11)
+    ref, ref_costs = pg.optimize_pose_graph(g, iters=8)
+    out, costs = dpg.optimize_pose_graph_distributed(
+        g, _mesh(8, "pg"), axis="pg", iters=8
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.poses), np.asarray(ref.poses), atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(costs), np.asarray(ref_costs), rtol=1e-4
+    )
