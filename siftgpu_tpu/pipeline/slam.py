@@ -206,10 +206,22 @@ def run_slam(frames, intr, cfg, mcfg, scfg: SlamConfig,
                 kf.pt_ids[pairs[:, 0]] >= 0 if len(pairs) else np.zeros(0, bool)
             )
             p3d = pairs[has_map] if len(pairs) else pairs
+            slots = kf.pt_ids[p3d[:, 0]] if len(p3d) else np.zeros(0, np.int64)
+            kp_idx = p3d[:, 1] if len(p3d) else np.zeros(0, np.int64)
+            # widen the 2D-3D set with the previous keyframe's map points
+            # (keyframe churn otherwise starves PnP right after insertion)
+            if len(keyframes) >= 2:
+                kf2 = keyframes[-2]
+                pairs2 = match(kf2.feats, ft)
+                if len(pairs2):
+                    hm2 = kf2.pt_ids[pairs2[:, 0]] >= 0
+                    p2 = pairs2[hm2]
+                    new = ~np.isin(p2[:, 1], kp_idx)
+                    slots = np.concatenate([slots, kf2.pt_ids[p2[new, 0]]])
+                    kp_idx = np.concatenate([kp_idx, p2[new, 1]])
             pose_guess = last_pose + vel
-            if len(p3d) >= 6:
-                slots = kf.pt_ids[p3d[:, 0]]
-                uv = np.stack([kpt["x"][p3d[:, 1]], kpt["y"][p3d[:, 1]]], 1)
+            if len(slots) >= 6:
+                uv = np.stack([kpt["x"][kp_idx], kpt["y"][kp_idx]], 1)
                 res = pnp.pnp_gn(
                     jnp.asarray(map_X[slots]), jnp.asarray(uv, jnp.float32),
                     jnp.ones(len(slots), jnp.float32), intr_j,
@@ -222,7 +234,7 @@ def run_slam(frames, intr, cfg, mcfg, scfg: SlamConfig,
             else:
                 pose_t = pose_guess
                 n_inl = 0
-                inl = np.zeros(len(p3d), bool)
+                inl = np.zeros(len(slots), bool)
             vel = 0.5 * vel + 0.5 * (pose_t - last_pose)
             traj[t] = pose_t
             last_pose = pose_t
@@ -236,10 +248,15 @@ def run_slam(frames, intr, cfg, mcfg, scfg: SlamConfig,
             )
             if n_inl < scfg.kf_min_inliers or flow > scfg.kf_flow_px:
                 mapped = [
-                    (kf.pt_ids[i0], i1)
-                    for (i0, i1), good in zip(p3d, inl) if good
+                    (slots[i], kp_idx[i]) for i in np.nonzero(inl)[0]
                 ]
+                mapped_kp = {int(k) for _, k in mapped}
                 unmapped = pairs[~has_map] if len(pairs) else pairs
+                if len(unmapped):
+                    # don't re-triangulate keypoints already tied to the map
+                    # through the second keyframe
+                    keep = ~np.isin(unmapped[:, 1], list(mapped_kp) or [-1])
+                    unmapped = unmapped[keep]
                 add_keyframe(t, ft, kpt, pose_t, mapped_pairs=mapped,
                              prev_kf=kf, tri_pairs=unmapped)
                 windowed_ba()
