@@ -42,8 +42,10 @@ class SiftConfig:
       subpixel         ↔ -s     (3x3x3 quadratic subpixel refinement)
       lowe_origin      ↔ -loweo (+0.5 pixel origin convention)
       unnormalized     ↔ -unn   (skip descriptor normalization)
-      max_dim          ↔ -maxd  (pre-downsample cap on working dimension)
-      max_filter_width ↔ -f     (Gaussian filter width cap)
+      (-maxd maps to the API-level "max_dim" preprocess in SiftTPU — it
+       downsamples the IMAGE before a config is derived, so it is not a
+       SiftConfig field; -f maps to kernel_truncate, the filter width
+       factor; max_filter_width has no reference flag and caps tap radius)
     """
 
     # --- image geometry (static; determines every downstream shape) ---
@@ -196,9 +198,6 @@ class MatchConfig:
     dist_max: float = 0.7          # max angular distance (radians)
     ratio_max: float = 0.8         # best/second-best angle ratio
     mutual_best: bool = True
-    metric: str = "angular"        # "angular" (reference) or "l2"
-    block: int = 512               # streaming matcher block size
-    use_pallas: bool = True
 
     def replace(self, **kw) -> "MatchConfig":
         return dataclasses.replace(self, **kw)

@@ -87,12 +87,15 @@ def parse_flags(argv: Sequence[str]) -> Dict:
                 out[field] = conv(argv[i])
         elif base in _OPTIONAL_VALUED:
             field, conv, default = _OPTIONAL_VALUED[base]
-            nxt = argv[i + 1] if i + 1 < len(argv) else None
-            if nxt is not None and not nxt.startswith("-"):
-                i += 1
-                out[field] = conv(nxt)
+            if "=" in a:
+                out[field] = conv(a.split("=", 1)[1])
             else:
-                out[field] = default
+                nxt = argv[i + 1] if i + 1 < len(argv) else None
+                if nxt is not None and not nxt.startswith("-") and nxt.isdigit():
+                    i += 1
+                    out[field] = conv(nxt)
+                else:
+                    out[field] = default
         elif base in _BOOL:
             field, val = _BOOL[base]
             if field:

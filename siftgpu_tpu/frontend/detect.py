@@ -83,8 +83,9 @@ def detect_octave(
     m8n = _pool8(v, jax.lax.min)
     nmax = jnp.maximum(jnp.maximum(m2x[:, 0:S], m2x[:, 2 : S + 2]), m8x)
     nmin = jnp.minimum(jnp.minimum(m2n[:, 0:S], m2n[:, 2 : S + 2]), m8n)
-    is_ext = jnp.where(v > 0, v > nmax, v < nmin)
-    is_ext &= jnp.abs(v) > 0.8 * cfg.dog_threshold
+    pre = jnp.abs(v) > 0.8 * cfg.dog_threshold
+    is_max = (v > 0) & (v > nmax) & pre
+    is_min = (v < 0) & (v < nmin) & pre
 
     # --- dense Hessian edge test on the DoG slice ---
     xp = jnp.pad(v, ((0, 0), (0, 0), (1, 1), (1, 1)))
@@ -102,32 +103,43 @@ def detect_octave(
     xx = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
     interior = (yy >= 1) & (yy <= H - 2) & (xx >= 1) & (xx <= W - 2)
 
-    keep = is_ext & edge_ok & interior[None, None]
+    base_keep = edge_ok & interior[None, None]
     if owned_rows is not None:
         lo, hi = owned_rows
-        keep &= (yy[None, None] >= lo) & (yy[None, None] < hi)
-    score = jnp.abs(v) * keep
+        base_keep &= (yy[None, None] >= lo) & (yy[None, None] < hi)
 
     # --- fixed-capacity compaction via EXACT 2x2-pooled top-k ---
-    # Strict 26-neighbor extrema are never 8-adjacent within a slice, so each
-    # 2x2 spatial block holds at most one candidate: top-k over the 4x-smaller
-    # block-max map is exact.  (top_k over the full H*W map dominated 1080p
-    # extraction at ~800 ms; this cuts its input 4x.)
+    # Within one extremum TYPE, strict 26-neighbor extrema are never
+    # 8-adjacent in a slice (a > all neighbors forbids an adjacent b > its
+    # neighbors), so each 2x2 block holds at most one MAXIMUM and one MINIMUM
+    # candidate.  Pooling the two types separately and concatenating keeps
+    # top-k exact at half the sort size.  (A max and a min CAN be adjacent —
+    # pooling |DoG| jointly would drop one; caught by review.)
     He, We = H + (H % 2), W + (W % 2)
-    if (He, We) != (H, W):
-        score_p = jnp.pad(score, ((0, 0), (0, 0), (0, He - H), (0, We - W)))
-    else:
-        score_p = score
-    blocks = score_p.reshape(B, S, He // 2, 2, We // 2, 2)
-    blocks = jnp.moveaxis(blocks, 3, 4).reshape(B, S, He // 2, We // 2, 4)
-    bscore = blocks.max(-1)                          # [B, S, He/2, We/2]
-    barg = jnp.argmax(blocks, axis=-1).astype(jnp.int32)
-    nb = S * (He // 2) * (We // 2)
-    top, bidx = jax.lax.top_k(bscore.reshape(B, nb), cap)   # [B, cap]
+
+    def pooled(score):
+        sp = score
+        if (He, We) != (H, W):
+            sp = jnp.pad(sp, ((0, 0), (0, 0), (0, He - H), (0, We - W)))
+        blocks = sp.reshape(B, S, He // 2, 2, We // 2, 2)
+        blocks = jnp.moveaxis(blocks, 3, 4).reshape(B, S, He // 2, We // 2, 4)
+        return blocks.max(-1), jnp.argmax(blocks, axis=-1).astype(jnp.int32)
+
+    bs_max, ba_max = pooled(jnp.abs(v) * (is_max & base_keep))
+    bs_min, ba_min = pooled(jnp.abs(v) * (is_min & base_keep))
+    nb1 = S * (He // 2) * (We // 2)
+    bscore = jnp.concatenate(
+        [bs_max.reshape(B, nb1), bs_min.reshape(B, nb1)], axis=1
+    )
+    barg = jnp.concatenate(
+        [ba_max.reshape(B, nb1), ba_min.reshape(B, nb1)], axis=1
+    )
+    top, bidx = jax.lax.top_k(bscore, cap)           # [B, cap]
     cand = top > 0.0
-    sub = jnp.take_along_axis(barg.reshape(B, nb), bidx, axis=1)
-    l = bidx // ((He // 2) * (We // 2)) + 1          # DoG slice index in [1, S]
-    rem = bidx % ((He // 2) * (We // 2))
+    sub = jnp.take_along_axis(barg, bidx, axis=1)
+    bidx1 = bidx % nb1                               # drop the type axis
+    l = bidx1 // ((He // 2) * (We // 2)) + 1         # DoG slice index in [1, S]
+    rem = bidx1 % ((He // 2) * (We // 2))
     py = (rem // (We // 2)) * 2 + sub // 2
     px = (rem % (We // 2)) * 2 + sub % 2
     # padded rows/cols can never win: their scores are 0 and cand masks them
@@ -170,6 +182,11 @@ def detect_octave(
         off_ok = (
             (jnp.abs(off_l) <= 1.5) & (jnp.abs(off_y) <= 1.5) & (jnp.abs(off_x) <= 1.5)
         )
+        # a level offset beyond +-0.5 means the extremum belongs to the
+        # neighboring DoG slice; clamp so refined sigma stays within the
+        # bound the static orientation/descriptor windows are sized for
+        # (core/scalespace.py::max_detect_sigma) — oracle does the same
+        off_l = jnp.clip(off_l, -0.5, 0.5)
     else:
         off_l = off_y = off_x = jnp.zeros_like(vc)
         val = vc

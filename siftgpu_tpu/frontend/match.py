@@ -12,8 +12,8 @@ here selection stays in-graph on fixed-capacity buffers:
 `matches [max_match, 2]` padded with -1 plus an in-graph count.
 
 For capacities up to SetMaxSift's ~8k the full similarity matrix is small
-(64 MB f32 at 4k x 4k) and XLA pipelines it; `ops/match_blocked.py` provides
-the streaming Pallas kernel for larger sets.
+(64 MB f32 at 4k x 4k) and XLA pipelines it; a blockwise streaming kernel
+(FlashAttention-style running best-2) is the planned path for larger sets.
 """
 
 from __future__ import annotations

@@ -168,8 +168,8 @@ def sample_gradients(
         ],
         scratch_shapes=[
             pltpu.VMEM((2, BLK, WIN_Y, 2 * WIN_X), jnp.float32),
-            pltpu.VMEM((BLK, 256, WIN_Y), jnp.bfloat16),
-            pltpu.VMEM((BLK, 256, WIN_X), jnp.float32),
+            pltpu.VMEM((BLK, G2, WIN_Y), jnp.bfloat16),
+            pltpu.VMEM((BLK, G2, WIN_X), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 2 * BLK)),
         ],
         interpret=interpret,

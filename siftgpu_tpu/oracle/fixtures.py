@@ -12,7 +12,7 @@ import numpy as np
 
 __all__ = [
     "gaussian_blob_image", "checkerboard", "random_texture", "warp_affine",
-    "warp_homography", "two_plane_stereo",
+    "warp_homography", "two_plane_stereo", "two_plane_sequence",
 ]
 
 
@@ -124,7 +124,7 @@ def two_plane_sequence(n_frames, h, w, intr, rvec_step, t_step,
     """
     import jax.numpy as jnp
 
-    from ..geometry.pose import exp_so3, log_so3
+    from ..geometry.pose import exp_so3, log_se3
 
     fx, fy, cx, cy = intr
     K = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1.0]])
@@ -145,12 +145,8 @@ def two_plane_sequence(n_frames, h, w, intr, rvec_step, t_step,
         w_far, _ = warp_homography(far0, K @ (R + np.outer(tv, n) / d_far) @ Kinv)
         w_near, _ = warp_homography(near0, K @ (R + np.outer(tv, n) / d_near) @ Kinv)
         frames.append(np.where(w_near > 0, w_near, w_far).astype(np.float32))
-        # world->cam twist for pose (R, tv)
-        xi = np.concatenate([rv, tv])
-        # log_se3 of (R, tv): rotation part rv is exact; translation needs V^-1
-        from ..geometry.pose import log_se3
-        xi = np.asarray(log_se3(jnp.asarray(R), jnp.asarray(tv)))
-        poses.append(xi)
+        # world->cam twist for (R, tv): translation needs V^-1, hence log_se3
+        poses.append(np.asarray(log_se3(jnp.asarray(R), jnp.asarray(tv))))
     return np.stack(frames), np.stack(poses).astype(np.float32)
 
 

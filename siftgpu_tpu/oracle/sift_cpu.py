@@ -177,6 +177,11 @@ def detect_keypoints(pyr, cfg: SiftConfig):
                         off, val = _subpixel_refine(dog, l, y, x)
                         if np.max(np.abs(off)) > 1.5:
                             continue
+                        # clamp the LEVEL offset to +-0.5: beyond that the
+                        # extremum belongs to the adjacent slice, and the
+                        # static TPU windows are sized for sigma up to
+                        # sigma0 * 2^((S+0.5)/S) (scalespace.max_detect_sigma)
+                        off[0] = np.clip(off[0], -0.5, 0.5)
                     else:
                         off, val = np.zeros(3), v
                     if abs(val) < cfg.dog_threshold:

@@ -47,7 +47,7 @@ def _split_flags(args):
             i += 1
         elif base in _OPTIONAL_VALUED:
             nxt = args[i + 1] if i + 1 < len(args) else None
-            if nxt is not None and not nxt.startswith("-"):
+            if nxt is not None and not nxt.startswith("-") and nxt.isdigit():
                 known += args[i : i + 2]
                 i += 2
             else:
@@ -144,8 +144,12 @@ def cmd_twoview(argv):
     img0 = imio.load_image(a.image0)
     img1 = imio.load_image(a.image1)
     assert img0.shape == img1.shape
-    H, W = img0.shape
     s = SiftTPU(argv=flags_argv)
+    maxd = s._overrides.get("max_dim", 0)
+    if maxd:  # -maxd: downsample the frames, not just the config geometry
+        img0 = imio.downsample_to_fit(img0, maxd)
+        img1 = imio.downsample_to_fit(img1, maxd)
+    H, W = img0.shape
     cfg = s.config_for(H, W)
     intr = jnp.asarray([a.focal, a.focal, W / 2.0, H / 2.0], jnp.float32)
     res = twoview.two_view_reconstruct(
@@ -174,6 +178,9 @@ def cmd_dump(argv):
     os.makedirs(a.outdir, exist_ok=True)
     s = SiftTPU(argv=flags_argv)
     img = imio.load_image(a.image)
+    maxd = s._overrides.get("max_dim", 0)
+    if maxd:
+        img = imio.downsample_to_fit(img, maxd)
     cfg = s.config_for(*img.shape)
     pyr = pyramid.build_pyramid(jnp.asarray(img[None]), cfg)
     for o, oc in enumerate(pyr):

@@ -63,3 +63,30 @@ def test_no_keypoints_on_flat_image():
     img = np.full((48, 48), 0.5, np.float32)
     _, jkps = _detect_sets(img, cfg)
     assert jkps == []
+
+
+def test_adjacent_max_min_both_survive_pooling():
+    """A strict 26-neighbor MAXIMUM and MINIMUM can be 8-adjacent (same 2x2
+    block); the pooled top-k must keep both (regression for the review
+    finding that joint |DoG| pooling dropped one)."""
+    from siftgpu_tpu.frontend.pyramid import Octave
+
+    cfg = SiftConfig(
+        height=32, width=32, num_octaves=1, max_keypoints=64,
+        subpixel=False, border=1,
+    )
+    S = cfg.dog_levels
+    dog = np.zeros((1, S + 2, 32, 32), np.float32)
+
+    def bump(l, y, x, amp):
+        dog[0, l, y - 1 : y + 2, x - 1 : x + 2] += amp * 0.3
+        dog[0, l, y, x] += amp * 0.7
+
+    bump(2, 10, 10, +0.05)
+    bump(2, 10, 11, -0.05)
+    bump(2, 20, 20, +0.05)
+    oc = Octave(gauss=jnp.zeros((1, S + 3, 32, 32)), dog=jnp.asarray(dog))
+    kp = detect.detect_octave(oc, cfg, 64)
+    m = np.asarray(kp.mask[0])
+    got = set(zip(np.asarray(kp.y[0])[m].astype(int), np.asarray(kp.x[0])[m].astype(int)))
+    assert {(10, 10), (10, 11), (20, 20)} <= got
