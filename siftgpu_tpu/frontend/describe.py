@@ -29,7 +29,7 @@ import numpy as np
 from ..core.config import SiftConfig
 from .orient import GradStack
 
-__all__ = ["compute_descriptors", "finalize_descriptors"]
+__all__ = ["compute_descriptors", "finalize_descriptors", "bin_descriptors"]
 
 _TWO_PI = 6.283185307179586
 
@@ -116,19 +116,47 @@ def _bilerp_pallas(grads: GradStack, py, px, lvl, interpret: bool = False):
     return sgx.reshape(B, C, G, G), sgy.reshape(B, C, G, G)
 
 
+def _bin_chunk(sgx, sgy, theta, cfg: SiftConfig):
+    """Raw (pre-normalization) descriptors from sampled gradients.
+
+    sgx, sgy: [B, C, G2] bilinear gradient samples on the rotated grid, with
+    out-of-image samples already zeroed; theta: [B, C].  Shared by the
+    XLA/desc_sampler path and the fused kp_engine path.
+    """
+    G = cfg.descriptor_grid
+    D = cfg.descriptor_width
+    NB = cfg.descriptor_bins
+    B, C, G2 = sgx.shape
+
+    _, wrc, gw = _grid_constants(G, D, cfg.descriptor_samples_per_cell)
+    wrc = jnp.asarray(wrc)
+    gwf = jnp.asarray(gw).reshape(G2)
+
+    mag = jnp.sqrt(sgx * sgx + sgy * sgy) * gwf            # [B, C, G2]
+    ang = (jnp.arctan2(sgy, sgx) - theta[..., None]) % _TWO_PI
+    ob = ang * (NB / _TWO_PI)
+    o0 = jnp.clip(jnp.floor(ob).astype(jnp.int32), 0, NB - 1)
+    fo = ob - jnp.floor(ob)
+
+    oh0 = jax.nn.one_hot(o0, NB, dtype=jnp.float32)
+    oh1 = jax.nn.one_hot((o0 + 1) % NB, NB, dtype=jnp.float32)
+    mo = (mag * (1.0 - fo))[..., None] * oh0 + (mag * fo)[..., None] * oh1
+    mo = mo.reshape(B, C, G, G, NB)
+
+    desc = jnp.einsum(
+        "bkijo,ir,jc->bkrco", mo, wrc, wrc,
+        precision=jax.lax.Precision.HIGHEST,
+    )                                                      # [B, C, D, D, NB]
+    return desc.reshape(B, C, D * D * NB)
+
+
 def _descriptor_chunk(
     grads: GradStack, y, x, sigma, theta, lvl, cfg: SiftConfig,
     sampler: str = "xla", interpret: bool = False,
 ):
     """Raw (pre-normalization) descriptors for a chunk. y..lvl: [B, C]."""
     G = cfg.descriptor_grid
-    D = cfg.descriptor_width
-    NB = cfg.descriptor_bins
     B, C = y.shape
-
-    _, wrc, gw = _grid_constants(G, D, cfg.descriptor_samples_per_cell)
-    wrc = jnp.asarray(wrc)
-    gw = jnp.asarray(gw)
 
     py, px = _sample_coords(y, x, sigma, theta, cfg)
 
@@ -144,22 +172,42 @@ def _descriptor_chunk(
         )
     else:
         sgx, sgy = _bilerp_xla(grads, py, px, lvl)
-    mag = jnp.sqrt(sgx * sgx + sgy * sgy) * inb            # [B, C, G, G]
-    ang = (jnp.arctan2(sgy, sgx) - theta[..., None, None]) % _TWO_PI
-    ob = ang * (NB / _TWO_PI)
-    o0 = jnp.clip(jnp.floor(ob).astype(jnp.int32), 0, NB - 1)
-    fo = ob - jnp.floor(ob)
+    sgx = (sgx * inb).reshape(B, C, G * G)
+    sgy = (sgy * inb).reshape(B, C, G * G)
+    return _bin_chunk(sgx, sgy, theta, cfg)
 
-    m = mag * gw[None, None]
-    oh0 = jax.nn.one_hot(o0, NB, dtype=jnp.float32)
-    oh1 = jax.nn.one_hot((o0 + 1) % NB, NB, dtype=jnp.float32)
-    mo = (m * (1.0 - fo))[..., None] * oh0 + (m * fo)[..., None] * oh1
 
-    desc = jnp.einsum(
-        "bkijo,ir,jc->bkrco", mo, wrc, wrc,
-        precision=jax.lax.Precision.HIGHEST,
-    )                                                      # [B, C, D, D, NB]
-    return desc.reshape(B, C, D * D * NB)
+def bin_descriptors(
+    sgx: jax.Array, sgy: jax.Array, theta: jax.Array, cfg: SiftConfig,
+    chunk: int = 512,
+) -> jax.Array:
+    """uint8 descriptors from pre-sampled gradients (the fused-kernel path).
+
+    sgx, sgy: [B, K2, G2] with out-of-image samples zeroed; theta: [B, K2].
+    Chunked over keypoints with `lax.map` to bound the [B, chunk, G2, NB]
+    intermediate, exactly like `compute_descriptors`.
+    """
+    B, K2, G2 = sgx.shape
+    pad = (-K2) % chunk
+    if pad:
+        zf3 = lambda a: jnp.pad(a, ((0, 0), (0, pad), (0, 0)))
+        sgx, sgy = zf3(sgx), zf3(sgy)
+        theta = jnp.pad(theta, ((0, 0), (0, pad)))
+    nc = sgx.shape[1] // chunk
+
+    def to_chunks3(a):
+        return jnp.moveaxis(a.reshape(B, nc, chunk, G2), 1, 0)
+
+    args = (to_chunks3(sgx), to_chunks3(sgy),
+            jnp.moveaxis(theta.reshape(B, nc, chunk), 1, 0))
+
+    def body(a):
+        cx, cy_, cth = a
+        return _bin_chunk(cx, cy_, cth, cfg)
+
+    out = jax.lax.map(body, args)                  # [nc, B, chunk, 128]
+    out = jnp.moveaxis(out, 0, 1).reshape(B, nc * chunk, -1)[:, :K2]
+    return finalize_descriptors(out, cfg)
 
 
 def finalize_descriptors(desc: jax.Array, cfg: SiftConfig) -> jax.Array:

@@ -61,16 +61,24 @@ def octave_candidates(
     B = oc.gauss.shape[0]
     kp = detect.detect_octave(oc, cfg, cap, owned_rows=owned_rows)
     grads = orient.gradient_stack(oc.gauss, cfg, y0=y0, global_h=global_h)
-    theta, valid = orient.compute_orientations(grads, kp, cfg)       # [B,cap,n]
     n = cfg.max_orientations
 
     def dup(a):
         return jnp.repeat(a[..., None], n, axis=-1).reshape(B, cap * n)
 
     y2, x2, s2, gl2, r2 = map(dup, (kp.y, kp.x, kp.sigma, kp.grad_level, kp.response))
-    th2 = theta.reshape(B, cap * n)
-    m2 = valid.reshape(B, cap * n)
-    d2 = describe.compute_descriptors(grads, y2, x2, s2, th2, gl2, cfg)
+
+    if describe._pick_sampler(cfg) == "pallas":
+        # fused Pallas path: one window DMA per keypoint feeds orientation
+        # histogram + descriptor sampling (ops/kp_engine.py)
+        from . import fused
+
+        th2, m2, d2 = fused.orient_describe_fused(grads, kp, cfg)
+    else:
+        theta, valid = orient.compute_orientations(grads, kp, cfg)  # [B,cap,n]
+        th2 = theta.reshape(B, cap * n)
+        m2 = valid.reshape(B, cap * n)
+        d2 = describe.compute_descriptors(grads, y2, x2, s2, th2, gl2, cfg)
     return dict(y=y2, x=x2, sigma=s2, theta=th2, response=r2, mask=m2, desc=d2)
 
 

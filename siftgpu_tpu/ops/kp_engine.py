@@ -1,0 +1,411 @@
+"""Pallas TPU kernel: fused orientation assignment + descriptor sampling.
+
+Replaces the two hottest per-keypoint stages (SURVEY.md §2.4 items 5-6 —
+`ProgramCU::ComputeOrient` + the descriptor gradient gather ⚠) with ONE pass
+per keypoint over ONE window DMA:
+
+  - the old XLA orientation path gathered a (2R+1)^2 window per keypoint with
+    vmapped `dynamic_slice` (~20 ms per batch-4 640x480 iteration) and built
+    the 36-bin histogram with a chunked one-hot einsum (~50 ms more);
+  - the old descriptor path (ops/desc_sampler.py) re-DMA'd the same gradient
+    window once per orientation slot.
+
+Here each keypoint's gradient window is DMA'd HBM -> VMEM exactly once
+(double-buffered across grid steps) and everything downstream happens
+in-kernel:
+
+  1. 36-bin Gaussian-weighted orientation histogram over a dynamically
+     row-sliced sub-window (VPU compare-accumulate; exact same pixel set as
+     the XLA path: clipped window ∩ radius circle ∩ global image rows);
+  2. histogram smoothing x6 as ONE tiny matmul against a precomputed
+     circulant matrix (box smoothing is linear), with left/right-rolled
+     copies fused into the same constant so peak tests need no roll ops;
+  3. peak selection (<= NORI peaks >= peak_ratio * max, ties -> smallest
+     bin like `lax.top_k`), parabola refinement via one-hot dots;
+  4. per-orientation descriptor sampling: rotated 16x16 grid, bilinear tent
+     weights as a [G2, WIN_Y] x [WIN_Y, 2*WIN_X] bf16 MXU matmul (row
+     interpolation) + VPU column-tent reduction — the desc_sampler.py
+     formulation, now fed by the shared window.
+
+Geometry: DMA offsets must be tile-aligned (8 sublanes x 128 lanes); window
+origins snap down to the tile grid and margins are derived from the config's
+`max_detect_sigma` bound (see `window_geometry`).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["orient_sample", "window_geometry"]
+
+_TWO_PI = 6.283185307179586
+_NEG = -1e30
+BLK = 8  # keypoints per grid step
+
+
+def window_geometry(cfg):
+    """Static window geometry derived from the config's sigma bound.
+
+    Returns (margin, WIN_Y, WIN_X, win_o, ORI_SPAN).  The descriptor sample
+    grid reaches (G-1)/2 * spacing*sigma/spc * sqrt(2) pixels from the center
+    (rotation worst case) + 1 for the bilinear tent; the orientation window
+    is (2R+1)^2 and must sit inside the descriptor window.
+    """
+    G = cfg.descriptor_grid
+    smax = cfg.max_detect_sigma
+    reach = (G - 1) / 2.0 * cfg.descriptor_spacing * smax / cfg.descriptor_samples_per_cell
+    margin = int(math.ceil(reach * math.sqrt(2.0) + 1.5))
+    R = cfg.orient_window_radius
+    margin = max(margin, R + 2)
+    win_y = -(-(2 * margin + 8) // 8) * 8
+    win_o = 2 * R + 1
+    ori_span = min(-(-(win_o + 7) // 8) * 8, win_y)
+    if margin > 64:
+        raise ValueError(
+            f"descriptor margin {margin} exceeds the 64-px column margin of "
+            f"the 256-lane window; widen WIN_X handling for this config"
+        )
+    return margin, win_y, 256, win_o, ori_span
+
+
+def _smooth_matrix(nb: int, rounds: int = 6) -> np.ndarray:
+    """[nb, 3*nb] constant: hist @ M -> (smoothed | left-rolled | right-rolled).
+
+    Box smoothing x`rounds` is linear, so it collapses into one circulant
+    matrix; roll(+1)/roll(-1) of the smoothed histogram are the same matrix
+    with permuted columns.
+    """
+    C = np.zeros((nb, nb), np.float64)
+    for i in range(nb):
+        C[i, i] = 1.0
+    step = np.zeros((nb, nb), np.float64)
+    for i in range(nb):
+        step[i, i] = 1 / 3
+        step[i, (i + 1) % nb] = 1 / 3
+        step[i, (i - 1) % nb] = 1 / 3
+    for _ in range(rounds):
+        C = C @ step
+    left = np.roll(C, 1, axis=1)    # (hist @ left)[b]  = smoothed[b-1]
+    right = np.roll(C, -1, axis=1)  # (hist @ right)[b] = smoothed[b+1]
+    return np.concatenate([C, left, right], axis=1).astype(np.float32)
+
+
+def _kernel(
+    cur_ref, nxt_ref, flt_ref, y0g_ref, sm_ref, gx_hbm, gy_hbm,
+    misc_ref, sgx_ref, sgy_ref,
+    wxy, a_scr, b_scr, sems,
+    *, win_y, win_x, win_o, ori_span, nb, nori, G, peak_ratio,
+    sig_f, rad_f, spacing, spc_cell,
+):
+    """cur/nxt_ref: [1, 6, BLK] int32 SMEM (plane, wy0, wx0, ro, sy, sx);
+    flt_ref: [1, 3, BLK] f32 SMEM (ky, kx, sigma); y0g_ref: [1, 3] int32 SMEM
+    (global row offset, true image width, global image height); sm_ref:
+    [nb, 3nb] smoothing constant; wxy: [2, BLK, WIN_Y, 2*WIN_X]
+    double-buffered window scratch (gx cols [:WIN_X])."""
+    G2 = G * G
+    i = pl.program_id(0)
+    nbk = pl.num_programs(0)
+    slot = jax.lax.rem(i, 2)
+    nslot = jax.lax.rem(i + 1, 2)
+
+    def dma(src, ref, k, dslot, col0, sem_idx):
+        p = ref[0, 0, k]
+        y0 = pl.multiple_of(ref[0, 1, k], 8)
+        x0 = pl.multiple_of(ref[0, 2, k], 128)
+        return pltpu.make_async_copy(
+            src.at[p, pl.ds(y0, win_y), pl.ds(x0, win_x)],
+            wxy.at[dslot, k, :, pl.ds(col0, win_x)], sems.at[dslot, sem_idx],
+        )
+
+    @pl.when(i == 0)
+    def _warmup():
+        for k in range(BLK):
+            dma(gx_hbm, cur_ref, k, 0, 0, 2 * k).start()
+            dma(gy_hbm, cur_ref, k, 0, win_x, 2 * k + 1).start()
+
+    @pl.when(i + 1 < nbk)
+    def _prefetch():
+        for k in range(BLK):
+            dma(gx_hbm, nxt_ref, k, nslot, 0, 2 * k).start()
+            dma(gy_hbm, nxt_ref, k, nslot, win_x, 2 * k + 1).start()
+
+    for k in range(BLK):
+        dma(gx_hbm, cur_ref, k, slot, 0, 2 * k).wait()
+        dma(gy_hbm, cur_ref, k, slot, win_x, 2 * k + 1).wait()
+
+    y0g = y0g_ref[0, 0]
+    w_true = y0g_ref[0, 1]
+    global_h = y0g_ref[0, 2]
+
+    # ---------------- orientation histograms (per keypoint) ----------------
+    rows_o = jax.lax.broadcasted_iota(jnp.int32, (ori_span, win_x), 0)
+    cols_o = jax.lax.broadcasted_iota(jnp.int32, (ori_span, win_x), 1)
+    hists = []
+    for k in range(BLK):
+        wy0 = cur_ref[0, 1, k]
+        wx0 = cur_ref[0, 2, k]
+        ro = pl.multiple_of(cur_ref[0, 3, k], 8)
+        sy = cur_ref[0, 4, k]
+        sx = cur_ref[0, 5, k]
+        ky = flt_ref[0, 0, k]
+        kx = flt_ref[0, 1, k]
+        sw = sig_f * flt_ref[0, 2, k]
+        rad2 = (rad_f * sw) * (rad_f * sw)
+
+        gxw = wxy[slot, k, pl.ds(ro, ori_span), :win_x]
+        gyw = wxy[slot, k, pl.ds(ro, ori_span), win_x:]
+        row_abs = rows_o + (wy0 + ro)
+        col_abs = cols_o + wx0
+        oy = row_abs.astype(jnp.float32) - ky
+        ox = col_abs.astype(jnp.float32) - kx
+        r2 = oy * oy + ox * ox
+        inwin = (
+            (row_abs >= sy) & (row_abs < sy + win_o)
+            & (col_abs >= sx) & (col_abs < sx + win_o)
+            & (row_abs + y0g >= 0) & (row_abs + y0g < global_h)
+            & (r2 <= rad2)
+        )
+        wgt = jnp.where(inwin, jnp.exp(r2 * (-0.5 / (sw * sw))), 0.0)
+        mag = jnp.sqrt(gxw * gxw + gyw * gyw)
+        wm = wgt * mag
+        # Bin membership WITHOUT atan2 (unsupported in Mosaic): bin b covers
+        # angles [2πb/nb, 2π(b+1)/nb) and membership is two half-plane sign
+        # tests against the sector edge directions — sign(|g| sin(θ - α_b)).
+        # Edge values chain between adjacent bins, so it is one dot product
+        # per bin.  Matches the XLA floor(atan2·nb/2π) binning exactly up to
+        # f32 rounding at sector boundaries (measure-zero set).
+        edges = [
+            (math.cos(_TWO_PI * b / nb), math.sin(_TWO_PI * b / nb))
+            for b in range(nb + 1)
+        ]
+        s_prev = gyw * edges[0][0] - gxw * edges[0][1]
+        parts = []
+        for b in range(nb):
+            ec, es = edges[b + 1]
+            s_next = gyw * ec - gxw * es
+            memb = (s_prev >= 0.0) & (s_next < 0.0)
+            parts.append(
+                jnp.sum(jnp.where(memb, wm, 0.0), axis=0, keepdims=True)
+            )
+            s_prev = s_next
+        part = jnp.concatenate(parts, axis=0)            # [nb, win_x]
+        hists.append(jnp.sum(part, axis=1, keepdims=True).T)  # [1, nb]
+    hist = jnp.concatenate(hists, axis=0)                # [BLK, nb]
+
+    # ---------------- smoothing + peak selection (batched) -----------------
+    hh = jnp.dot(hist, sm_ref[:, :], preferred_element_type=jnp.float32)
+    s = hh[:, :nb]
+    l = hh[:, nb : 2 * nb]
+    r = hh[:, 2 * nb :]
+    mx = jnp.max(s, axis=1, keepdims=True)
+    is_peak = (s > l) & (s > r) & (s >= peak_ratio * mx) & (mx > 0)
+    pv = jnp.where(is_peak, s, _NEG)
+    bidx = jax.lax.broadcasted_iota(jnp.int32, (BLK, nb), 1)
+
+    thetas, haspks = [], []
+    for _ in range(nori):
+        m = jnp.max(pv, axis=1, keepdims=True)
+        has = m > 0.5 * _NEG
+        idx = jnp.min(jnp.where((pv == m) & has, bidx, nb), axis=1, keepdims=True)
+        idx = jnp.minimum(idx, nb - 1)
+        oh_c = (bidx == idx).astype(jnp.float32)
+        oh_l = (bidx == jax.lax.rem(idx + (nb - 1), nb)).astype(jnp.float32)
+        oh_r = (bidx == jax.lax.rem(idx + 1, nb)).astype(jnp.float32)
+        ci = jnp.sum(s * oh_c, axis=1, keepdims=True)
+        li = jnp.sum(s * oh_l, axis=1, keepdims=True)
+        ri = jnp.sum(s * oh_r, axis=1, keepdims=True)
+        denom = li - 2.0 * ci + ri
+        d = jnp.where(jnp.abs(denom) < 1e-12, 0.0, 0.5 * (li - ri) / denom)
+        th = _TWO_PI * (idx.astype(jnp.float32) + 0.5 + d) / nb
+        th = th - jnp.floor(th * (1.0 / _TWO_PI)) * _TWO_PI
+        thetas.append(jnp.where(has, th, 0.0))
+        haspks.append(has.astype(jnp.float32))
+        pv = jnp.where(bidx == idx, _NEG, pv)
+
+    theta = jnp.concatenate(thetas, axis=1)              # [BLK, nori]
+    misc_ref[:, :nori] = theta
+    misc_ref[:, nori:] = jnp.concatenate(haspks, axis=1)
+
+    # ---------------- descriptor sampling (per orientation) ----------------
+    half = (G - 1) / 2.0
+    n_i = jax.lax.broadcasted_iota(jnp.int32, (G2, 1), 0)
+    gi = n_i // G                                        # sample grid row
+    gj = n_i - gi * G                                    # sample grid col
+    rows_d = jax.lax.broadcasted_iota(jnp.int32, (G2, win_y), 1).astype(jnp.float32)
+    cols_d = jax.lax.broadcasted_iota(jnp.int32, (G2, win_x), 1).astype(jnp.float32)
+
+    wb = wxy[slot].astype(jnp.bfloat16)                  # [BLK, WIN_Y, 2*WIN_X]
+    for o in range(nori):
+        for k in range(BLK):
+            wy0 = cur_ref[0, 1, k].astype(jnp.float32)
+            wx0 = cur_ref[0, 2, k].astype(jnp.float32)
+            ky = flt_ref[0, 0, k]
+            kx = flt_ref[0, 1, k]
+            spc = spacing * flt_ref[0, 2, k] / spc_cell
+            th = theta[k, o]
+            ct = jnp.cos(th)
+            st = jnp.sin(th)
+            u = (gj.astype(jnp.float32) - half) * spc    # [G2, 1] grid cols
+            v = (gi.astype(jnp.float32) - half) * spc    # [G2, 1] grid rows
+            px = kx + ct * u - st * v
+            py = ky + st * u + ct * v
+            inb = (
+                (px >= 0.0) & (px <= (w_true - 1).astype(jnp.float32))
+                & (py + y0g >= 0.0)
+                & (py + y0g <= (global_h - 1).astype(jnp.float32))
+            ).astype(jnp.float32)
+            a_scr[k] = jnp.maximum(
+                1.0 - jnp.abs((py - wy0) - rows_d), 0.0
+            ).astype(jnp.bfloat16)
+            b_scr[k] = jnp.maximum(1.0 - jnp.abs((px - wx0) - cols_d), 0.0) * inb
+        t = jax.lax.dot_general(
+            a_scr[:, :, :], wb,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )                                                # [BLK, G2, 2*WIN_X]
+        Bm = b_scr[:, :, :]
+        sgx_ref[:, o * G2 : (o + 1) * G2] = jnp.sum(t[:, :, :win_x] * Bm, axis=2)
+        sgy_ref[:, o * G2 : (o + 1) * G2] = jnp.sum(t[:, :, win_x:] * Bm, axis=2)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "nori", "nb", "G", "peak_ratio", "sig_f", "rad_f", "spacing",
+        "spc_cell", "win_o", "R", "margin", "win_y", "ori_span", "interpret",
+    ),
+)
+def _orient_sample_impl(
+    gx, gy, plane, ky, kx, sigma, y0g, w_true, global_h,
+    *, nori, nb, G, peak_ratio, sig_f, rad_f, spacing, spc_cell,
+    win_o, R, margin, win_y, ori_span, interpret,
+):
+    P, H, Wimg = gx.shape
+    N = plane.shape[0]
+    G2 = G * G
+    win_x = 256
+
+    H2 = max(-(-H // 8) * 8, win_y)
+    W2 = max(-(-Wimg // 128) * 128, win_x)
+    if (H2, W2) != (H, Wimg):
+        gx = jnp.pad(gx, ((0, 0), (0, H2 - H), (0, W2 - Wimg)))
+        gy = jnp.pad(gy, ((0, 0), (0, H2 - H), (0, W2 - Wimg)))
+
+    pad = (-N) % BLK
+    if pad:
+        plane = jnp.pad(plane, (0, pad))
+        ky = jnp.pad(ky, (0, pad))
+        kx = jnp.pad(kx, (0, pad))
+        sigma = jnp.pad(sigma, (0, pad), constant_values=1.0)
+    Np = plane.shape[0]
+
+    wy0 = jnp.clip(
+        (jnp.floor((ky - margin) / 8.0)).astype(jnp.int32) * 8, 0, H2 - win_y
+    )
+    wx0 = jnp.clip(
+        (jnp.floor((kx - 64.0) / 128.0)).astype(jnp.int32) * 128, 0, W2 - win_x
+    )
+    iy = jnp.round(ky).astype(jnp.int32)
+    ix = jnp.round(kx).astype(jnp.int32)
+    sy = jnp.clip(iy - R, 0, H2 - win_o)
+    sx = jnp.clip(ix - R, 0, W2 - win_o)
+    ro = jnp.clip(((sy - wy0) // 8) * 8, 0, win_y - ori_span)
+
+    nbk = Np // BLK
+    ints = jnp.stack(
+        [a.reshape(nbk, BLK) for a in (plane, wy0, wx0, ro, sy, sx)], axis=1
+    )                                                    # [nbk, 6, BLK]
+    nxt = jnp.concatenate([ints[1:], jnp.zeros((1, 6, BLK), ints.dtype)])
+    flts = jnp.stack(
+        [a.reshape(nbk, BLK).astype(jnp.float32) for a in (ky, kx, sigma)], axis=1
+    )                                                    # [nbk, 3, BLK]
+    sm = jnp.asarray(_smooth_matrix(nb))
+    y0g2 = jnp.stack(
+        [jnp.asarray(a, jnp.int32).reshape(()) for a in (y0g, w_true, global_h)]
+    ).reshape(1, 3)
+
+    kern = functools.partial(
+        _kernel,
+        win_y=win_y, win_x=win_x, win_o=win_o, ori_span=ori_span, nb=nb,
+        nori=nori, G=G, peak_ratio=peak_ratio, sig_f=sig_f, rad_f=rad_f,
+        spacing=spacing, spc_cell=spc_cell,
+    )
+    in_specs = [
+        pl.BlockSpec((1, 6, BLK), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 6, BLK), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 3, BLK), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 3), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((nb, 3 * nb), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+    ]
+    out_specs = [
+        pl.BlockSpec((BLK, 2 * nori), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((BLK, nori * G2), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((BLK, nori * G2), lambda i: (i, 0), memory_space=pltpu.VMEM),
+    ]
+    misc, sgx, sgy = pl.pallas_call(
+        kern,
+        grid=(nbk,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=[
+            jax.ShapeDtypeStruct((Np, 2 * nori), jnp.float32),
+            jax.ShapeDtypeStruct((Np, nori * G2), jnp.float32),
+            jax.ShapeDtypeStruct((Np, nori * G2), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, BLK, win_y, 2 * win_x), jnp.float32),
+            pltpu.VMEM((BLK, G2, win_y), jnp.bfloat16),
+            pltpu.VMEM((BLK, G2, win_x), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2 * BLK)),
+        ],
+        interpret=interpret,
+    )(ints, nxt, flts, y0g2, sm, gx, gy)
+    theta = misc[:N, :nori]
+    haspk = misc[:N, nori:] > 0.5
+    return theta, haspk, sgx[:N], sgy[:N]
+
+
+def orient_sample(
+    gx: jax.Array, gy: jax.Array, plane: jax.Array,
+    ky: jax.Array, kx: jax.Array, sigma: jax.Array,
+    cfg, y0g=None, global_h: int | None = None, w_true: int | None = None,
+    interpret: bool = False,
+):
+    """Fused orientation + descriptor gradient sampling.
+
+    gx, gy: [P, H, W] gradient planes (P = batch*levels); plane: [N] int32
+    plane index per keypoint; ky, kx, sigma: [N] f32 keypoint geometry in
+    octave-local (slab) coordinates.  y0g: traced scalar global row offset of
+    slab row 0 (spatially-sharded path; 0 on a single chip); global_h / w_true:
+    full-image bounds used for the out-of-image masks.
+
+    Returns (theta [N, NORI], haspk [N, NORI] bool, sgx [N, NORI*G2],
+    sgy [N, NORI*G2]) where slot 0 of theta falls back to 0.0 when the
+    histogram is empty (haspk False there; caller applies mask semantics).
+    """
+    P, H, Wimg = gx.shape
+    margin, win_y, _win_x, win_o, ori_span = window_geometry(cfg)
+    return _orient_sample_impl(
+        gx, gy, plane.astype(jnp.int32),
+        ky.astype(jnp.float32), kx.astype(jnp.float32),
+        sigma.astype(jnp.float32),
+        jnp.zeros((), jnp.int32) if y0g is None else y0g,
+        jnp.asarray(Wimg if w_true is None else w_true, jnp.int32),
+        jnp.asarray(H if global_h is None else global_h, jnp.int32),
+        nori=cfg.max_orientations, nb=cfg.orientation_bins,
+        G=cfg.descriptor_grid, peak_ratio=cfg.orientation_peak_ratio,
+        sig_f=cfg.orientation_sigma_factor, rad_f=cfg.orientation_radius_factor,
+        spacing=cfg.descriptor_spacing, spc_cell=cfg.descriptor_samples_per_cell,
+        win_o=win_o, R=cfg.orient_window_radius, margin=margin,
+        win_y=win_y, ori_span=ori_span,
+        interpret=interpret,
+    )

@@ -1,0 +1,82 @@
+"""Fused orientation+descriptor kernel parity vs the unfused XLA path
+(interpret mode on CPU — SURVEY §5.2)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from siftgpu_tpu.core.config import SiftConfig
+from siftgpu_tpu.frontend import detect, fused, orient, pyramid
+from siftgpu_tpu.frontend.describe import compute_descriptors
+from siftgpu_tpu.oracle import fixtures
+
+
+def _real_keypoints(cfg, img):
+    pyr = pyramid.build_pyramid(jnp.asarray(img[None]), cfg)
+    oc = pyr[0]
+    kp = detect.detect_octave(oc, cfg, 128)
+    grads = orient.gradient_stack(oc.gauss, cfg)
+    return oc, kp, grads
+
+
+def test_fused_matches_unfused_path():
+    cfg = SiftConfig(height=120, width=160, max_keypoints=128)
+    img = fixtures.random_texture(120, 160, seed=5, smooth=3)
+    oc, kp, grads = _real_keypoints(cfg, img)
+    B, K = kp.y.shape
+    n = cfg.max_orientations
+
+    # unfused reference
+    theta_ref, valid_ref = orient.compute_orientations(grads, kp, cfg)
+
+    def dup(a):
+        return jnp.repeat(a[..., None], n, axis=-1).reshape(B, K * n)
+
+    d_ref = compute_descriptors(
+        grads, dup(kp.y), dup(kp.x), dup(kp.sigma),
+        theta_ref.reshape(B, K * n), dup(kp.grad_level), cfg, sampler="xla",
+    )
+
+    th2, m2, d2 = fused.orient_describe_fused(grads, kp, cfg, interpret=True)
+
+    nk = int(np.asarray(kp.mask).sum())
+    assert nk > 20  # the fixture must actually exercise the kernel
+
+    mask_ref = np.asarray(valid_ref.reshape(B, K * n))
+    mask_fus = np.asarray(m2)
+    th_ref = np.asarray(theta_ref.reshape(B, K * n))
+    th_fus = np.asarray(th2)
+
+    # validity flags agree except possibly borderline 2nd peaks (bf16 window)
+    both = mask_ref & mask_fus
+    agree = (mask_ref == mask_fus).mean()
+    assert agree > 0.99, f"validity agreement {agree}"
+
+    # angles agree on commonly-valid slots (circular difference)
+    dth = np.abs(th_ref[both] - th_fus[both])
+    dth = np.minimum(dth, 2 * np.pi - dth)
+    assert np.quantile(dth, 0.98) < 1e-2, f"theta q98 {np.quantile(dth, 0.98)}"
+    assert dth.max() < 0.2  # no peak mixups
+
+    # descriptors agree to a few uint8 quantization steps on valid slots
+    a = np.asarray(d_ref).astype(int)[both]
+    b = np.asarray(d2).astype(int)[both]
+    close_th = np.minimum(np.abs(th_ref[both] - th_fus[both]),
+                          2 * np.pi - np.abs(th_ref[both] - th_fus[both])) < 1e-3
+    diff = np.abs(a[close_th] - b[close_th])
+    assert diff.max() <= 4
+    assert (diff > 1).mean() < 0.02
+
+    af = a[close_th].astype(np.float64)
+    bf = b[close_th].astype(np.float64)
+    cos = (af * bf).sum(1) / np.maximum(
+        np.linalg.norm(af, axis=1) * np.linalg.norm(bf, axis=1), 1e-9
+    )
+    assert cos.min() > 0.999
+
+
+def test_fused_degenerate_flat_image():
+    cfg = SiftConfig(height=64, width=64, max_keypoints=32)
+    img = np.zeros((64, 64), np.float32) + 0.5
+    oc, kp, grads = _real_keypoints(cfg, img)
+    th2, m2, d2 = fused.orient_describe_fused(grads, kp, cfg, interpret=True)
+    assert not bool(np.asarray(m2).any())
