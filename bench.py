@@ -51,7 +51,7 @@ def main() -> None:
     import jax.numpy as jnp
 
     from siftgpu_tpu import MatchConfig, SiftConfig, extract_features_jit
-    from siftgpu_tpu.frontend.match import match_descriptors
+    from siftgpu_tpu.frontend.match import match_descriptors_batch
     from siftgpu_tpu.oracle import fixtures
 
     dev = jax.devices()[0]
@@ -74,20 +74,18 @@ def main() -> None:
         return extract_features_jit(images, cfg)
 
     def match_pairs(feats):
-        return [
-            match_descriptors(
-                feats.desc[t], feats.desc[t + 1],
-                feats.mask[t], feats.mask[t + 1], mcfg,
-            )
-            for t in range(B - 1)
-        ]
+        # all B-1 consecutive pairs in ONE dispatch (vmapped matcher)
+        return match_descriptors_batch(
+            feats.desc[:-1], feats.desc[1:],
+            feats.mask[:-1], feats.mask[1:], mcfg,
+        )
 
     # warm-up (compile)
     t0 = time.perf_counter()
     feats = extract()
     _sync(feats.mask)
     rs = match_pairs(feats)
-    _sync(rs[-1].dist)
+    _sync(rs.dist)
     print(f"warm-up (incl. compile): {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
     # Steady state.  The device executes dispatches in order, so queueing all
@@ -99,14 +97,12 @@ def main() -> None:
     _sync(all_feats[-1].mask)
     t1 = time.perf_counter()
     all_rs = [match_pairs(f) for f in all_feats]
-    _sync(all_rs[-1][-1].dist)
+    _sync(all_rs[-1].dist)
     t2 = time.perf_counter()
     t_ex = t1 - t0
     t_match = t2 - t1
     kp_total = sum(int(np.asarray(f.count).sum()) for f in all_feats[:1]) * iters
-    match_total = sum(
-        sum(int(r.count) for r in rs) for rs in all_rs[:1]
-    ) * iters
+    match_total = int(np.asarray(all_rs[0].count).sum()) * iters
 
     elapsed = t_ex + t_match
     value = (kp_total + match_total) / elapsed

@@ -26,7 +26,10 @@ import jax.numpy as jnp
 
 from ..core.config import MatchConfig
 
-__all__ = ["MatchResult", "match_descriptors", "guided_match_descriptors"]
+__all__ = [
+    "MatchResult", "match_descriptors", "match_descriptors_batch",
+    "guided_match_descriptors",
+]
 
 _HI = jax.lax.Precision.HIGHEST
 
@@ -117,6 +120,25 @@ def match_descriptors(
 ) -> MatchResult:
     """d0: [N0, 128], d1: [N1, 128] (uint8 or float). GetSiftMatch analog."""
     return match_descriptors_impl(d0, d1, mask0, mask1, cfg)
+
+
+@partial(jax.jit, static_argnums=4)
+def match_descriptors_batch(
+    d0: jax.Array, d1: jax.Array,
+    mask0: Optional[jax.Array] = None, mask1: Optional[jax.Array] = None,
+    cfg: MatchConfig = MatchConfig(),
+) -> MatchResult:
+    """Batched pairwise matching: d0, d1 [P, N, 128] -> MatchResult with a
+    leading pair axis.  One dispatch for P pairs — the consecutive-frame case
+    of the SLAM loop and benchmark (dispatch latency dominates the ~0.2 ms
+    marginal matmul cost of a single 2048^2 pair on this platform)."""
+    if mask0 is None:
+        mask0 = jnp.ones(d0.shape[:2], bool)
+    if mask1 is None:
+        mask1 = jnp.ones(d1.shape[:2], bool)
+    return jax.vmap(
+        lambda a, b, m, n: match_descriptors_impl(a, b, m, n, cfg)
+    )(d0, d1, mask0, mask1)
 
 
 def _homography_gate(loc0, loc1, H, hdist_max):
