@@ -160,36 +160,62 @@ def detect_octave(
     # candidate.  Pooling the two types separately and concatenating keeps
     # top-k exact at half the sort size.  (A max and a min CAN be adjacent —
     # pooling |DoG| jointly would drop one; caught by review.)
+    #
+    # Pooling uses a native strided reduce_window (2.6 ms at 4K vs 40 ms for
+    # the reshape/moveaxis formulation it replaced); the within-block argmax
+    # happens POST top-k by gathering the four corner scores of each winning
+    # block — a [B, 4*cap] gather instead of a dense [B, S, H/2, W/2] argmax.
     He, We = H + (H % 2), W + (W % 2)
+    s_max = jnp.abs(v) * (is_max & base_keep)
+    s_min = jnp.abs(v) * (is_min & base_keep)
+    if (He, We) != (H, W):
+        pad2 = ((0, 0), (0, 0), (0, He - H), (0, We - W))
+        s_max = jnp.pad(s_max, pad2)
+        s_min = jnp.pad(s_min, pad2)
 
     def pooled(score):
-        sp = score
-        if (He, We) != (H, W):
-            sp = jnp.pad(sp, ((0, 0), (0, 0), (0, He - H), (0, We - W)))
-        blocks = sp.reshape(B, S, He // 2, 2, We // 2, 2)
-        blocks = jnp.moveaxis(blocks, 3, 4).reshape(B, S, He // 2, We // 2, 4)
-        return blocks.max(-1), jnp.argmax(blocks, axis=-1).astype(jnp.int32)
+        return jax.lax.reduce_window(
+            score, 0.0, jax.lax.max,
+            window_dimensions=(1, 1, 2, 2), window_strides=(1, 1, 2, 2),
+            padding="VALID",
+        )
 
-    bs_max, ba_max = pooled(jnp.abs(v) * (is_max & base_keep))
-    bs_min, ba_min = pooled(jnp.abs(v) * (is_min & base_keep))
     nb1 = S * (He // 2) * (We // 2)
     bscore = jnp.concatenate(
-        [bs_max.reshape(B, nb1), bs_min.reshape(B, nb1)], axis=1
-    )
-    barg = jnp.concatenate(
-        [ba_max.reshape(B, nb1), ba_min.reshape(B, nb1)], axis=1
+        [pooled(s_max).reshape(B, nb1), pooled(s_min).reshape(B, nb1)], axis=1
     )
     top, bidx = jax.lax.top_k(bscore, cap)           # [B, cap]
     cand = top > 0.0
-    sub = jnp.take_along_axis(barg, bidx, axis=1)
     bidx1 = bidx % nb1                               # drop the type axis
+    typ = bidx // nb1                                # 0 = max, 1 = min
     l = bidx1 // ((He // 2) * (We // 2)) + 1         # DoG slice index in [1, S]
     rem = bidx1 % ((He // 2) * (We // 2))
-    py = (rem // (We // 2)) * 2 + sub // 2
-    px = (rem % (We // 2)) * 2 + sub % 2
+    by = (rem // (We // 2)) * 2                      # block origin pixel
+    bx = (rem % (We // 2)) * 2
     # padded rows/cols can never win: their scores are 0 and cand masks them
 
-    # --- scalar gathers of the refined fields at the <= cap winners ---
+    # post-hoc within-block argmax: gather the 4 corner scores of each
+    # winning block from the per-type score planes in ONE call (gather cost
+    # on this platform is per-call, not per-element)
+    sboth = jnp.concatenate(
+        [s_max.reshape(B, 1, -1), s_min.reshape(B, 1, -1)], axis=1
+    ).reshape(B, -1)                                 # [B, 2*S*He*We]
+    plane_sz = S * He * We
+
+    def corner_idx(dy, dx):
+        yy2 = jnp.clip(by + dy, 0, He - 1)
+        xx2 = jnp.clip(bx + dx, 0, We - 1)
+        return typ * plane_sz + (l - 1) * (He * We) + yy2 * We + xx2
+
+    cidx = jnp.concatenate(
+        [corner_idx(dy, dx) for dy in (0, 1) for dx in (0, 1)], axis=1
+    )                                                # [B, 4*cap] (a=dy, b=dx order)
+    cvals = jnp.take_along_axis(sboth, cidx, axis=1).reshape(B, 4, cap)
+    sub = jnp.argmax(cvals, axis=1).astype(jnp.int32)  # first-wins ties, as before
+    py = by + sub // 2
+    px = bx + sub % 2
+
+    # --- refined fields at the <= cap winners: ONE packed gather ---
     # flat index into the dense [S, H, W] refine planes (l is 1-based into
     # the DoG volume; the refine planes are indexed by l-1); clamp keeps
     # padded-row/col winners (already masked by `cand`) in range
@@ -198,14 +224,14 @@ def detect_octave(
         + jnp.clip(py, 0, H - 1) * W
         + jnp.clip(px, 0, W - 1)
     )                                                # [B, cap]
-
-    def pick(dense):
-        return jnp.take_along_axis(dense.reshape(B, S * H * W), flat, axis=1)
-
-    off_l = pick(doff_l)
-    off_y = pick(doff_y)
-    off_x = pick(doff_x)
-    val = pick(dval)
+    packed = jnp.concatenate(
+        [a.reshape(B, 1, -1) for a in (doff_l, doff_y, doff_x, dval)], axis=1
+    ).reshape(B, -1)                                 # [B, 4*S*H*W]
+    fidx = jnp.concatenate(
+        [k * (S * H * W) + flat for k in range(4)], axis=1
+    )                                                # [B, 4*cap]
+    got = jnp.take_along_axis(packed, fidx, axis=1).reshape(B, 4, cap)
+    off_l, off_y, off_x, val = got[:, 0], got[:, 1], got[:, 2], got[:, 3]
 
     if cfg.subpixel:
         off_ok = (
