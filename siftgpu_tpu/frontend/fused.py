@@ -46,7 +46,8 @@ def orient_describe_fused(
     theta, haspk, sgx, sgy = kp_engine.orient_sample(
         planes_x, planes_y, plane,
         kp.y.reshape(B * K), kp.x.reshape(B * K), kp.sigma.reshape(B * K),
-        cfg, y0g=grads.y0, global_h=grads.global_h, w_true=grads.w,
+        cfg, mask=kp.mask.reshape(B * K),
+        y0g=grads.y0, global_h=grads.global_h, w_true=grads.w,
         interpret=interpret,
     )
 

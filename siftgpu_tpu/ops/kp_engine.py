@@ -104,7 +104,7 @@ def _kernel(
     *, win_y, win_x, win_o, ori_span, nb, nori, G, peak_ratio,
     sig_f, rad_f, spacing, spc_cell,
 ):
-    """cur/nxt_ref: [1, 6, BLK] int32 SMEM (plane, wy0, wx0, ro, sy, sx);
+    """cur/nxt_ref: [1, 7, BLK] int32 SMEM (plane, wy0, wx0, ro, sy, sx, valid);
     flt_ref: [1, 3, BLK] f32 SMEM (ky, kx, sigma); y0g_ref: [1, 3] int32 SMEM
     (global row offset, true image width, global image height); sm_ref:
     [nb, 3nb] smoothing constant; wxy: [2, BLK, WIN_Y, 2*WIN_X]
@@ -124,31 +124,46 @@ def _kernel(
             wxy.at[dslot, k, :, pl.ds(col0, win_x)], sems.at[dslot, sem_idx],
         )
 
+    # DMA only the windows of VALID keypoints (start/wait guarded by the same
+    # SMEM flag, so semaphore signals always pair up); invalid keypoints read
+    # stale scratch, and their outputs are masked downstream.
     @pl.when(i == 0)
     def _warmup():
         for k in range(BLK):
-            dma(gx_hbm, cur_ref, k, 0, 0, 2 * k).start()
-            dma(gy_hbm, cur_ref, k, 0, win_x, 2 * k + 1).start()
+            @pl.when(cur_ref[0, 6, k] > 0)
+            def _():
+                dma(gx_hbm, cur_ref, k, 0, 0, 2 * k).start()
+                dma(gy_hbm, cur_ref, k, 0, win_x, 2 * k + 1).start()
 
     @pl.when(i + 1 < nbk)
     def _prefetch():
         for k in range(BLK):
-            dma(gx_hbm, nxt_ref, k, nslot, 0, 2 * k).start()
-            dma(gy_hbm, nxt_ref, k, nslot, win_x, 2 * k + 1).start()
+            @pl.when(nxt_ref[0, 6, k] > 0)
+            def _():
+                dma(gx_hbm, nxt_ref, k, nslot, 0, 2 * k).start()
+                dma(gy_hbm, nxt_ref, k, nslot, win_x, 2 * k + 1).start()
 
     for k in range(BLK):
-        dma(gx_hbm, cur_ref, k, slot, 0, 2 * k).wait()
-        dma(gy_hbm, cur_ref, k, slot, win_x, 2 * k + 1).wait()
+        @pl.when(cur_ref[0, 6, k] > 0)
+        def _():
+            dma(gx_hbm, cur_ref, k, slot, 0, 2 * k).wait()
+            dma(gy_hbm, cur_ref, k, slot, win_x, 2 * k + 1).wait()
 
     y0g = y0g_ref[0, 0]
     w_true = y0g_ref[0, 1]
     global_h = y0g_ref[0, 2]
+    anyv = cur_ref[0, 6, 0]
+    for k in range(1, BLK):
+        anyv = jnp.maximum(anyv, cur_ref[0, 6, k])
 
     # ---------------- orientation histograms (per keypoint) ----------------
     rows_o = jax.lax.broadcasted_iota(jnp.int32, (ori_span, win_x), 0)
     cols_o = jax.lax.broadcasted_iota(jnp.int32, (ori_span, win_x), 1)
-    hists = []
-    for k in range(BLK):
+    # tan of the within-quadrant sector boundaries (nb/4 sectors per quadrant)
+    nq = nb // 4
+    tans = [math.tan(_TWO_PI / nb * t) for t in range(1, nq)]
+
+    def one_hist(k):
         wy0 = cur_ref[0, 1, k]
         wx0 = cur_ref[0, 2, k]
         ro = pl.multiple_of(cur_ref[0, 3, k], 8)
@@ -175,29 +190,58 @@ def _kernel(
         wgt = jnp.where(inwin, jnp.exp(r2 * (-0.5 / (sw * sw))), 0.0)
         mag = jnp.sqrt(gxw * gxw + gyw * gyw)
         wm = wgt * mag
-        # Bin membership WITHOUT atan2 (unsupported in Mosaic): bin b covers
-        # angles [2πb/nb, 2π(b+1)/nb) and membership is two half-plane sign
-        # tests against the sector edge directions — sign(|g| sin(θ - α_b)).
-        # Edge values chain between adjacent bins, so it is one dot product
-        # per bin.  Matches the XLA floor(atan2·nb/2π) binning exactly up to
-        # f32 rounding at sector boundaries (measure-zero set).
-        edges = [
-            (math.cos(_TWO_PI * b / nb), math.sin(_TWO_PI * b / nb))
-            for b in range(nb + 1)
+        # Bin index WITHOUT atan2 (unsupported in Mosaic): quadrant from the
+        # gradient signs, within-quadrant sector s = #{t : |gy| >= |gx| tan_t}
+        # (= floor of the reduced angle / sector width), then the quadrant
+        # fold maps s to the global bin.  Matches the XLA floor(atan2·nb/2π)
+        # binning exactly up to f32 rounding at sector boundaries.
+        ax = jnp.abs(gxw)
+        ay = jnp.abs(gyw)
+        s = jnp.zeros(ax.shape, jnp.int32)
+        for t in tans:
+            s = s + (ay >= ax * t).astype(jnp.int32)
+        # axis conventions match atan2: gx=0,gy>0 -> π/2 (bin nq via the
+        # qx=False fold since s=nq-1 there); gx=0,gy<0 -> 3π/2 (bin 3nq via
+        # qx=True); gy=0,gx<0 -> +π (bin 2nq via qy=False, qx=False)
+        qx = (gxw > 0.0) | ((gxw == 0.0) & (gyw < 0.0))
+        qy = (gyw > 0.0) | ((gyw == 0.0) & qx)
+        bins = jnp.where(
+            qy,
+            jnp.where(qx, s, (2 * nq - 1) - s),
+            jnp.where(qx, (4 * nq - 1) - s, 2 * nq + s),
+        )
+        parts = [
+            jnp.sum(jnp.where(bins == b, wm, 0.0), axis=0, keepdims=True)
+            for b in range(nb)
         ]
-        s_prev = gyw * edges[0][0] - gxw * edges[0][1]
-        parts = []
-        for b in range(nb):
-            ec, es = edges[b + 1]
-            s_next = gyw * ec - gxw * es
-            memb = (s_prev >= 0.0) & (s_next < 0.0)
-            parts.append(
-                jnp.sum(jnp.where(memb, wm, 0.0), axis=0, keepdims=True)
-            )
-            s_prev = s_next
         part = jnp.concatenate(parts, axis=0)            # [nb, win_x]
-        hists.append(jnp.sum(part, axis=1, keepdims=True).T)  # [1, nb]
-    hist = jnp.concatenate(hists, axis=0)                # [BLK, nb]
+        return jnp.sum(part, axis=1, keepdims=True).T    # [1, nb]
+
+    # whole-block skip: blocks with no valid keypoint (common tail of the
+    # fixed-capacity candidate buffers) write zeros and do no window math
+    @pl.when(anyv == 0)
+    def _zeros():
+        misc_ref[:, :] = jnp.zeros((BLK, 2 * nori), jnp.float32)
+        sgx_ref[:, :] = jnp.zeros((BLK, nori * G2), jnp.float32)
+        sgy_ref[:, :] = jnp.zeros((BLK, nori * G2), jnp.float32)
+
+    @pl.when(anyv > 0)
+    def _compute():
+        _compute_block(
+            cur_ref, flt_ref, y0g, w_true, global_h, sm_ref,
+            misc_ref, sgx_ref, sgy_ref, wxy, a_scr, b_scr, slot, one_hist,
+            win_y=win_y, win_x=win_x, nb=nb, nori=nori, G=G,
+            peak_ratio=peak_ratio, spacing=spacing, spc_cell=spc_cell,
+        )
+
+
+def _compute_block(
+    cur_ref, flt_ref, y0g, w_true, global_h, sm_ref,
+    misc_ref, sgx_ref, sgy_ref, wxy, a_scr, b_scr, slot, one_hist,
+    *, win_y, win_x, nb, nori, G, peak_ratio, spacing, spc_cell,
+):
+    G2 = G * G
+    hist = jnp.concatenate([one_hist(k) for k in range(BLK)], axis=0)
 
     # ---------------- smoothing + peak selection (batched) -----------------
     hh = jnp.dot(hist, sm_ref[:, :], preferred_element_type=jnp.float32)
@@ -271,8 +315,12 @@ def _kernel(
             preferred_element_type=jnp.float32,
         )                                                # [BLK, G2, 2*WIN_X]
         Bm = b_scr[:, :, :]
-        sgx_ref[:, o * G2 : (o + 1) * G2] = jnp.sum(t[:, :, :win_x] * Bm, axis=2)
-        sgy_ref[:, o * G2 : (o + 1) * G2] = jnp.sum(t[:, :, win_x:] * Bm, axis=2)
+        sgx_ref[:, o * G2 : (o + 1) * G2] = jnp.sum(
+            t[:, :, :win_x] * Bm, axis=2, dtype=jnp.float32
+        )
+        sgy_ref[:, o * G2 : (o + 1) * G2] = jnp.sum(
+            t[:, :, win_x:] * Bm, axis=2, dtype=jnp.float32
+        )
 
 
 @functools.partial(
@@ -283,7 +331,7 @@ def _kernel(
     ),
 )
 def _orient_sample_impl(
-    gx, gy, plane, ky, kx, sigma, y0g, w_true, global_h,
+    gx, gy, plane, ky, kx, sigma, valid, y0g, w_true, global_h,
     *, nori, nb, G, peak_ratio, sig_f, rad_f, spacing, spc_cell,
     win_o, R, margin, win_y, ori_span, interpret,
 ):
@@ -304,6 +352,7 @@ def _orient_sample_impl(
         ky = jnp.pad(ky, (0, pad))
         kx = jnp.pad(kx, (0, pad))
         sigma = jnp.pad(sigma, (0, pad), constant_values=1.0)
+        valid = jnp.pad(valid, (0, pad))
     Np = plane.shape[0]
 
     wy0 = jnp.clip(
@@ -320,9 +369,10 @@ def _orient_sample_impl(
 
     nbk = Np // BLK
     ints = jnp.stack(
-        [a.reshape(nbk, BLK) for a in (plane, wy0, wx0, ro, sy, sx)], axis=1
-    )                                                    # [nbk, 6, BLK]
-    nxt = jnp.concatenate([ints[1:], jnp.zeros((1, 6, BLK), ints.dtype)])
+        [a.reshape(nbk, BLK) for a in (plane, wy0, wx0, ro, sy, sx, valid)],
+        axis=1,
+    )                                                    # [nbk, 7, BLK]
+    nxt = jnp.concatenate([ints[1:], jnp.zeros((1, 7, BLK), ints.dtype)])
     flts = jnp.stack(
         [a.reshape(nbk, BLK).astype(jnp.float32) for a in (ky, kx, sigma)], axis=1
     )                                                    # [nbk, 3, BLK]
@@ -338,8 +388,8 @@ def _orient_sample_impl(
         spacing=spacing, spc_cell=spc_cell,
     )
     in_specs = [
-        pl.BlockSpec((1, 6, BLK), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, 6, BLK), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 7, BLK), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 7, BLK), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
         pl.BlockSpec((1, 3, BLK), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
         pl.BlockSpec((1, 3), lambda i: (0, 0), memory_space=pltpu.SMEM),
         pl.BlockSpec((nb, 3 * nb), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -377,16 +427,19 @@ def _orient_sample_impl(
 def orient_sample(
     gx: jax.Array, gy: jax.Array, plane: jax.Array,
     ky: jax.Array, kx: jax.Array, sigma: jax.Array,
-    cfg, y0g=None, global_h: int | None = None, w_true: int | None = None,
+    cfg, mask: jax.Array | None = None,
+    y0g=None, global_h: int | None = None, w_true: int | None = None,
     interpret: bool = False,
 ):
     """Fused orientation + descriptor gradient sampling.
 
     gx, gy: [P, H, W] gradient planes (P = batch*levels); plane: [N] int32
     plane index per keypoint; ky, kx, sigma: [N] f32 keypoint geometry in
-    octave-local (slab) coordinates.  y0g: traced scalar global row offset of
-    slab row 0 (spatially-sharded path; 0 on a single chip); global_h / w_true:
-    full-image bounds used for the out-of-image masks.
+    octave-local (slab) coordinates.  mask: [N] bool keypoint validity —
+    invalid keypoints skip their window DMA + compute (their outputs are
+    unspecified; callers mask downstream).  y0g: traced scalar global row
+    offset of slab row 0 (spatially-sharded path; 0 on a single chip);
+    global_h / w_true: full-image bounds used for the out-of-image masks.
 
     Returns (theta [N, NORI], haspk [N, NORI] bool, sgx [N, NORI*G2],
     sgy [N, NORI*G2]) where slot 0 of theta falls back to 0.0 when the
@@ -394,10 +447,12 @@ def orient_sample(
     """
     P, H, Wimg = gx.shape
     margin, win_y, _win_x, win_o, ori_span = window_geometry(cfg)
+    if mask is None:
+        mask = jnp.ones(plane.shape, bool)
     return _orient_sample_impl(
         gx, gy, plane.astype(jnp.int32),
         ky.astype(jnp.float32), kx.astype(jnp.float32),
-        sigma.astype(jnp.float32),
+        sigma.astype(jnp.float32), mask.astype(jnp.int32),
         jnp.zeros((), jnp.int32) if y0g is None else y0g,
         jnp.asarray(Wimg if w_true is None else w_true, jnp.int32),
         jnp.asarray(H if global_h is None else global_h, jnp.int32),
