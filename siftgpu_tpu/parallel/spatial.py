@@ -168,7 +168,7 @@ def extract_features_spatial(
             cand["mask"] &= (gy >= bd) & (gy < H_o - bd)
             cand["y"] = gy
             parts.append(fe.to_image_coords(cand, cfg, o, B))
-            base = octv.gauss[:, cfg.dog_levels, halo : halo + r_o][:, ::2, ::2]
+            base = pyramid.downsample2x(octv.gauss[:, cfg.dog_levels, halo : halo + r_o])
 
         if gathered_base is not None:
             o0 = plan.index("gathered")

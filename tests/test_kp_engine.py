@@ -74,6 +74,52 @@ def test_fused_matches_unfused_path():
     assert cos.min() > 0.999
 
 
+def test_fused_spatial_slab_offsets():
+    """y0g/global_h handling: a slab cut from a taller image must mask
+    orientation rows and descriptor samples exactly like the unfused path."""
+    cfg = SiftConfig(height=96, width=160, max_keypoints=64)
+    img = fixtures.random_texture(96, 160, seed=11, smooth=3)
+    pyr = pyramid.build_pyramid(jnp.asarray(img[None]), cfg)
+    oc = pyr[0]
+    # pretend the 96-row plane is a slab starting at global row 16 of a
+    # 112-row image (slab reaches the global bottom).  The real spatial path
+    # guarantees halos cover every in-image sample; this synthetic slab has
+    # none above row 16, so compare only keypoints whose support (descriptor
+    # reach ~31 px) stays inside the slab.
+    y0 = jnp.asarray(16, jnp.int32)
+    grads = orient.gradient_stack(oc.gauss, cfg, y0=y0, global_h=112)
+    kp = detect.detect_octave(oc, cfg, 64)
+
+    theta_ref, valid_ref = orient.compute_orientations(grads, kp, cfg)
+    B, K = kp.y.shape
+    n = cfg.max_orientations
+
+    def dup(a):
+        return jnp.repeat(a[..., None], n, axis=-1).reshape(B, K * n)
+
+    d_ref = compute_descriptors(
+        grads, dup(kp.y), dup(kp.x), dup(kp.sigma),
+        theta_ref.reshape(B, K * n), dup(kp.grad_level), cfg, sampler="xla",
+    )
+    th2, m2, d2 = fused.orient_describe_fused(grads, kp, cfg, interpret=True)
+
+    interior = np.asarray(dup(kp.y)) >= 33.0
+    mask_ref = np.asarray(valid_ref.reshape(B, K * n)) & interior
+    mask_fus = np.asarray(m2) & interior
+    assert (mask_ref == mask_fus).mean() > 0.98
+    both = mask_ref & mask_fus
+    assert both.sum() > 10
+    th_r = np.asarray(theta_ref.reshape(B, K * n))[both]
+    th_f = np.asarray(th2)[both]
+    dth = np.minimum(np.abs(th_r - th_f), 2 * np.pi - np.abs(th_r - th_f))
+    close = dth < 1e-3
+    diff = np.abs(
+        np.asarray(d_ref).astype(int)[both][close]
+        - np.asarray(d2).astype(int)[both][close]
+    )
+    assert diff.max() <= 4
+
+
 def test_fused_degenerate_flat_image():
     cfg = SiftConfig(height=64, width=64, max_keypoints=32)
     img = np.zeros((64, 64), np.float32) + 0.5
