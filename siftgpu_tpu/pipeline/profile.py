@@ -109,8 +109,28 @@ def profile_extraction(
     times["pyramid"], pyr = timeit(pyr_fn, images)
     times["detect"], kps = timeit(detect_fn, pyr)
     times["gradients"], grads = timeit(grad_fn, pyr)
-    times["orient"], orients = timeit(orient_fn, grads, kps)
-    times["describe"], descs = timeit(describe_fn, grads, kps, orients)
+
+    if describe._pick_sampler(cfg) == "pallas":
+        # production TPU path: one fused kernel covers orient + describe
+        from ..frontend import fused as ffused
+
+        @jax.jit
+        def fused_fn(grads, kps):
+            return [
+                ffused.orient_describe_fused(g, kp, cfg)
+                for g, kp in zip(grads, kps)
+            ]
+
+        times["orient+desc"], fouts = timeit(fused_fn, grads, kps)
+        orients = [
+            (th.reshape(B, -1, cfg.max_orientations),
+             m.reshape(B, -1, cfg.max_orientations))
+            for th, m, _ in fouts
+        ]
+        descs = [d for _, _, d in fouts]
+    else:
+        times["orient"], orients = timeit(orient_fn, grads, kps)
+        times["describe"], descs = timeit(describe_fn, grads, kps, orients)
     times["assemble"], feats = timeit(assemble_fn, kps, orients, descs)
 
     if match_pairs and B >= 2:
