@@ -6,14 +6,13 @@ The reference compacts variable-length keypoint lists on the GPU and reads the
 count back to the host; here there are NO host syncs and NO dynamic shapes:
 
   1. dense extrema / contrast / edge masks over the DoG volume (cheap VPU work);
-  2. dense closed-form (Cramer) 3x3 subpixel solve over the whole volume —
-     elementwise VPU math is ~100x cheaper on TPU than the per-candidate
-     3x3x3 `dynamic_slice` gather it replaces (18 ms -> <1 ms at 640x480);
-  3. per-octave `top_k` of |DoG| into a fixed-capacity candidate buffer
-     (deterministic: score desc, flat index asc — SURVEY §7.4 item 1);
-  4. four scalar `take_along_axis` gathers pull the refined (off_l, off_y,
-     off_x, val) of the <= cap survivors; final contrast + border tests
-     folded into the validity mask.
+  2. per-octave `top_k` of |DoG| over 2x2-pooled candidate scores into a
+     fixed-capacity buffer (deterministic: score desc, flat index asc —
+     SURVEY §7.4 item 1), winner pixel recovered by a post-hoc corner gather;
+  3. ONE packed `take_along_axis` pulls all 27 DoG neighbors of every
+     survivor (gather cost on this platform is per-call, not per-element);
+  4. vectorized closed-form (Cramer) 3x3 solve for subpixel offsets, final
+     contrast + border tests folded into the validity mask.
 
 The candidate ordering uses the *unrefined* |DoG| response; the oracle orders
 by refined response.  Identical sets whenever the cap is not binding.
@@ -111,48 +110,6 @@ def detect_octave(
         lo, hi = owned_rows
         base_keep &= (yy[None, None] >= lo) & (yy[None, None] < hi)
 
-    # --- dense subpixel refinement (Cramer 3x3 solve at EVERY pixel) ---
-    # All nine derivative planes are shifted views of the DoG volume; the
-    # solve is pure elementwise VPU work that XLA fuses, replacing the
-    # per-candidate 3x3x3 dynamic_slice gather (the old hot spot).
-    if cfg.subpixel:
-        v32 = v.astype(jnp.float32)
-        v_up = dog[:, 2 : S + 2].astype(jnp.float32)
-        v_dn = dog[:, 0:S].astype(jnp.float32)
-
-        def sh(t, dy, dx):  # shifted view with zero pad (borders masked anyway)
-            tp = jnp.pad(t, ((0, 0), (0, 0), (1, 1), (1, 1)))
-            return tp[:, :, 1 + dy : 1 + dy + H, 1 + dx : 1 + dx + W]
-
-        gl = 0.5 * (v_up - v_dn)
-        gy_ = 0.5 * (sh(v32, 1, 0) - sh(v32, -1, 0))
-        gx_ = 0.5 * (sh(v32, 0, 1) - sh(v32, 0, -1))
-        a = v_up + v_dn - 2 * v32                                 # d²/dl²
-        d = dyy.astype(jnp.float32)                               # d²/dy²
-        f = dxx.astype(jnp.float32)                               # d²/dx²
-        b_ = 0.25 * ((sh(v_up, 1, 0) - sh(v_up, -1, 0))
-                     - (sh(v_dn, 1, 0) - sh(v_dn, -1, 0)))        # d²/dl dy
-        c_ = 0.25 * ((sh(v_up, 0, 1) - sh(v_up, 0, -1))
-                     - (sh(v_dn, 0, 1) - sh(v_dn, 0, -1)))        # d²/dl dx
-        e_ = dxy.astype(jnp.float32)                              # d²/dy dx
-        detH = a * (d * f - e_ * e_) - b_ * (b_ * f - c_ * e_) + c_ * (b_ * e_ - c_ * d)
-        ok_det = jnp.abs(detH) > 1e-12
-        inv_det = jnp.where(ok_det, 1.0 / jnp.where(ok_det, detH, 1.0), 0.0)
-        i00 = d * f - e_ * e_
-        i01 = c_ * e_ - b_ * f
-        i02 = b_ * e_ - c_ * d
-        i11 = a * f - c_ * c_
-        i12 = b_ * c_ - a * e_
-        i22 = a * d - b_ * b_
-        doff_l = -(i00 * gl + i01 * gy_ + i02 * gx_) * inv_det
-        doff_y = -(i01 * gl + i11 * gy_ + i12 * gx_) * inv_det
-        doff_x = -(i02 * gl + i12 * gy_ + i22 * gx_) * inv_det
-        dval = v + 0.5 * (gl * doff_l + gy_ * doff_y + gx_ * doff_x)
-    else:
-        zeros = jnp.zeros(v.shape, jnp.float32)
-        doff_l = doff_y = doff_x = zeros
-        dval = v.astype(jnp.float32)
-
     # --- fixed-capacity compaction via EXACT 2x2-pooled top-k ---
     # Within one extremum TYPE, strict 26-neighbor extrema are never
     # 8-adjacent in a slice (a > all neighbors forbids an adjacent b > its
@@ -215,25 +172,56 @@ def detect_octave(
     py = by + sub // 2
     px = bx + sub % 2
 
-    # --- refined fields at the <= cap winners: ONE packed gather ---
-    # flat index into the dense [S, H, W] refine planes (l is 1-based into
-    # the DoG volume; the refine planes are indexed by l-1); clamp keeps
-    # padded-row/col winners (already masked by `cand`) in range
-    flat = (
-        (l - 1) * (H * W)
-        + jnp.clip(py, 0, H - 1) * W
-        + jnp.clip(px, 0, W - 1)
-    )                                                # [B, cap]
-    packed = jnp.concatenate(
-        [a.reshape(B, 1, -1) for a in (doff_l, doff_y, doff_x, dval)], axis=1
-    ).reshape(B, -1)                                 # [B, 4*S*H*W]
-    fidx = jnp.concatenate(
-        [k * (S * H * W) + flat for k in range(4)], axis=1
-    )                                                # [B, 4*cap]
-    got = jnp.take_along_axis(packed, fidx, axis=1).reshape(B, 4, cap)
-    off_l, off_y, off_x, val = got[:, 0], got[:, 1], got[:, 2], got[:, 3]
+    # --- 3x3x3 patches at the <= cap winners: ONE packed gather ---
+    # flat indices into the DoG volume (l is 1-based, so l-1+dl in [0, S+1]);
+    # clamp keeps padded-row/col winners (already masked by `cand`) in range.
+    # Gather cost on this platform is per-CALL, so all 27 neighbors of all
+    # winners ride in a single take_along_axis (the vmapped dynamic_slice
+    # formulation this replaces cost 18 ms at 640x480; a dense whole-volume
+    # Cramer solve cost ~8 ms of pure HBM traffic at 4K).
+    yc = jnp.clip(py, 1, H - 2)
+    xc = jnp.clip(px, 1, W - 2)
+    base = l * (H * W) + yc * W + xc                 # [B, cap] center
+    offs = [
+        (dl * H + dy) * W + dx
+        for dl in (-1, 0, 1) for dy in (-1, 0, 1) for dx in (-1, 0, 1)
+    ]
+    pidx = jnp.concatenate([base + o for o in offs], axis=1)   # [B, 27*cap]
+    dogf = dog.reshape(B, L * H * W)
+    p = (
+        jnp.take_along_axis(dogf, pidx, axis=1)
+        .reshape(B, 3, 3, 3, cap)
+        .astype(jnp.float32)
+    )                                                # [B, l, y, x, cap]
+    vc = p[:, 1, 1, 1]
+
+    # gradient
+    gl = 0.5 * (p[:, 2, 1, 1] - p[:, 0, 1, 1])
+    gy = 0.5 * (p[:, 1, 2, 1] - p[:, 1, 0, 1])
+    gx = 0.5 * (p[:, 1, 1, 2] - p[:, 1, 1, 0])
+    # symmetric Hessian [[a,b,c],[b,d,e],[c,e,f]] in (l, y, x) order
+    a = p[:, 2, 1, 1] + p[:, 0, 1, 1] - 2 * vc
+    d = p[:, 1, 2, 1] + p[:, 1, 0, 1] - 2 * vc
+    f = p[:, 1, 1, 2] + p[:, 1, 1, 0] - 2 * vc
+    b_ = 0.25 * (p[:, 2, 2, 1] - p[:, 2, 0, 1] - p[:, 0, 2, 1] + p[:, 0, 0, 1])
+    c_ = 0.25 * (p[:, 2, 1, 2] - p[:, 2, 1, 0] - p[:, 0, 1, 2] + p[:, 0, 1, 0])
+    e_ = 0.25 * (p[:, 1, 2, 2] - p[:, 1, 2, 0] - p[:, 1, 0, 2] + p[:, 1, 0, 0])
 
     if cfg.subpixel:
+        detH = a * (d * f - e_ * e_) - b_ * (b_ * f - c_ * e_) + c_ * (b_ * e_ - c_ * d)
+        ok_det = jnp.abs(detH) > 1e-12
+        inv_det = jnp.where(ok_det, 1.0 / jnp.where(ok_det, detH, 1.0), 0.0)
+        # adjugate rows (symmetric inverse)
+        i00 = d * f - e_ * e_
+        i01 = c_ * e_ - b_ * f
+        i02 = b_ * e_ - c_ * d
+        i11 = a * f - c_ * c_
+        i12 = b_ * c_ - a * e_
+        i22 = a * d - b_ * b_
+        off_l = -(i00 * gl + i01 * gy + i02 * gx) * inv_det
+        off_y = -(i01 * gl + i11 * gy + i12 * gx) * inv_det
+        off_x = -(i02 * gl + i12 * gy + i22 * gx) * inv_det
+        val = vc + 0.5 * (gl * off_l + gy * off_y + gx * off_x)
         off_ok = (
             (jnp.abs(off_l) <= 1.5) & (jnp.abs(off_y) <= 1.5) & (jnp.abs(off_x) <= 1.5)
         )
@@ -243,7 +231,9 @@ def detect_octave(
         # (core/scalespace.py::max_detect_sigma) — oracle does the same
         off_l = jnp.clip(off_l, -0.5, 0.5)
     else:
-        off_ok = jnp.ones_like(val, dtype=bool)
+        off_l = off_y = off_x = jnp.zeros_like(vc)
+        val = vc
+        off_ok = jnp.ones_like(vc, dtype=bool)
 
     fy = py.astype(jnp.float32) + off_y
     fx = px.astype(jnp.float32) + off_x

@@ -210,6 +210,8 @@ def _kernel(
             jnp.where(qx, s, (2 * nq - 1) - s),
             jnp.where(qx, (4 * nq - 1) - s, 2 * nq + s),
         )
+        # (bf16 accumulation here measured NO faster and flips razor-thin
+        # second peaks — keep f32)
         parts = [
             jnp.sum(jnp.where(bins == b, wm, 0.0), axis=0, keepdims=True)
             for b in range(nb)
