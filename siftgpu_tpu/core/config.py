@@ -73,6 +73,15 @@ class SiftConfig:
     # --- keypoint capacities (static buffer sizes; SURVEY §7.1 fixed shapes) ---
     max_keypoints: int = 2048      # final per-image cap K
     per_octave_cap: int = 0        # 0 => auto: max(64, max_keypoints >> octave)
+    # candidate compaction: "exact" = lax.top_k always; "approx" =
+    # lax.approx_max_k always; "auto" = approx only on accelerators AND when
+    # the pooled candidate array exceeds `topk_approx_min` entries (4K-class
+    # octaves, where exact top-k costs ~27 ms vs ~2 ms approx).  Approximate
+    # selection can drop ~(1-recall) of borderline candidates when the octave
+    # cap binds; small-image parity configs stay exact under "auto".
+    detect_topk: str = "auto"
+    topk_recall: float = 0.9
+    topk_approx_min: int = 1 << 21
 
     # --- orientation ---
     max_orientations: int = 2

@@ -67,15 +67,29 @@ def _pool8(x: jax.Array, op) -> jax.Array:
     return out
 
 
-def detect_octave(
-    oc: Octave, cfg: SiftConfig, cap: int, owned_rows=None
-) -> OctaveKeypoints:
-    """`owned_rows=(lo, hi)` restricts candidates to slab rows [lo, hi) —
-    used by the spatially-sharded path so halo-region extrema neither consume
-    top-k capacity nor get double-counted across shards."""
-    dog = oc.dog                       # [B, S+2, H, W]
+def _pick_scores_impl(cfg: SiftConfig) -> str:
+    """Fused Pallas stencil on accelerators, XLA on CPU.  Queue-amortized
+    TPU timings (v5e): detect over all octaves 1080p 8.4 ms Pallas vs 20.9 ms
+    XLA; 4K 22.7 vs 36.1; 640x480 b4 10.8 vs 11.6 — Pallas wins at every
+    octave size."""
+    if not cfg.use_pallas:
+        return "xla"
+    try:
+        return "xla" if jax.default_backend() == "cpu" else "pallas"
+    except Exception:
+        return "xla"
+
+
+def _dense_scores_xla(dog: jax.Array, cfg: SiftConfig, owned_rows):
+    """Masked per-type candidate score planes, pure-XLA formulation.
+
+    Returns (s_max, s_min) [B, S, He, We] (He/We = H/W rounded up to even)
+    where nonzero entries are |DoG| at strict 26-neighbor extrema passing the
+    pre-threshold + Hessian edge + interior tests.  The Pallas kernel
+    (ops/detect_scores.py) computes the identical planes in one fused pass on
+    accelerators; this is the CPU / golden route."""
     B, L, H, W = dog.shape
-    S = cfg.dog_levels
+    S = L - 2
     v = dog[:, 1 : S + 1]              # [B, S, H, W] candidate slices
 
     # --- dense extremum test over 26 neighbors (strict; ties rejected) ---
@@ -110,6 +124,40 @@ def detect_octave(
         lo, hi = owned_rows
         base_keep &= (yy[None, None] >= lo) & (yy[None, None] < hi)
 
+    He, We = H + (H % 2), W + (W % 2)
+    s_max = jnp.abs(v) * (is_max & base_keep)
+    s_min = jnp.abs(v) * (is_min & base_keep)
+    if (He, We) != (H, W):
+        pad2 = ((0, 0), (0, 0), (0, He - H), (0, We - W))
+        s_max = jnp.pad(s_max, pad2)
+        s_min = jnp.pad(s_min, pad2)
+    return s_max, s_min
+
+
+def detect_octave(
+    oc: Octave, cfg: SiftConfig, cap: int, owned_rows=None,
+    scores_impl: str | None = None,
+) -> OctaveKeypoints:
+    """`owned_rows=(lo, hi)` restricts candidates to slab rows [lo, hi) —
+    used by the spatially-sharded path so halo-region extrema neither consume
+    top-k capacity nor get double-counted across shards.  `scores_impl`:
+    "xla" | "pallas" | "pallas_interpret" (default: auto — the fused Pallas
+    stencil on accelerators, XLA on CPU; both produce identical planes)."""
+    dog = oc.dog                       # [B, S+2, H, W]
+    B, L, H, W = dog.shape
+    S = cfg.dog_levels
+
+    impl = scores_impl or _pick_scores_impl(cfg)
+    if impl.startswith("pallas"):
+        from ..ops.detect_scores import detect_scores
+
+        s_max, s_min = detect_scores(
+            dog, cfg, owned_rows, interpret=(impl == "pallas_interpret")
+        )
+    else:
+        s_max, s_min = _dense_scores_xla(dog, cfg, owned_rows)
+    Hs, Ws = s_max.shape[-2:]          # even tile-padded plane dims
+
     # --- fixed-capacity compaction via EXACT 2x2-pooled top-k ---
     # Within one extremum TYPE, strict 26-neighbor extrema are never
     # 8-adjacent in a slice (a > all neighbors forbids an adjacent b > its
@@ -122,14 +170,6 @@ def detect_octave(
     # the reshape/moveaxis formulation it replaced); the within-block argmax
     # happens POST top-k by gathering the four corner scores of each winning
     # block — a [B, 4*cap] gather instead of a dense [B, S, H/2, W/2] argmax.
-    He, We = H + (H % 2), W + (W % 2)
-    s_max = jnp.abs(v) * (is_max & base_keep)
-    s_min = jnp.abs(v) * (is_min & base_keep)
-    if (He, We) != (H, W):
-        pad2 = ((0, 0), (0, 0), (0, He - H), (0, We - W))
-        s_max = jnp.pad(s_max, pad2)
-        s_min = jnp.pad(s_min, pad2)
-
     def pooled(score):
         return jax.lax.reduce_window(
             score, 0.0, jax.lax.max,
@@ -137,18 +177,32 @@ def detect_octave(
             padding="VALID",
         )
 
-    nb1 = S * (He // 2) * (We // 2)
+    nb1 = S * (Hs // 2) * (Ws // 2)
     bscore = jnp.concatenate(
         [pooled(s_max).reshape(B, nb1), pooled(s_min).reshape(B, nb1)], axis=1
     )
-    top, bidx = jax.lax.top_k(bscore, cap)           # [B, cap]
+    use_approx = cfg.detect_topk == "approx" or (
+        cfg.detect_topk == "auto"
+        and bscore.shape[1] >= cfg.topk_approx_min
+        and jax.default_backend() != "cpu"
+    )
+    if use_approx:
+        # TPU PartialReduce-based top-k: ~2 ms vs ~27 ms exact on 12M-entry
+        # 4K candidate arrays; may miss ~(1-recall) of borderline candidates
+        # when the cap binds (see SiftConfig.detect_topk)
+        top, bidx = jax.lax.approx_max_k(
+            bscore, cap, recall_target=cfg.topk_recall
+        )
+        bidx = bidx.astype(jnp.int32)
+    else:
+        top, bidx = jax.lax.top_k(bscore, cap)       # [B, cap]
     cand = top > 0.0
     bidx1 = bidx % nb1                               # drop the type axis
     typ = bidx // nb1                                # 0 = max, 1 = min
-    l = bidx1 // ((He // 2) * (We // 2)) + 1         # DoG slice index in [1, S]
-    rem = bidx1 % ((He // 2) * (We // 2))
-    by = (rem // (We // 2)) * 2                      # block origin pixel
-    bx = (rem % (We // 2)) * 2
+    l = bidx1 // ((Hs // 2) * (Ws // 2)) + 1         # DoG slice index in [1, S]
+    rem = bidx1 % ((Hs // 2) * (Ws // 2))
+    by = (rem // (Ws // 2)) * 2                      # block origin pixel
+    bx = (rem % (Ws // 2)) * 2
     # padded rows/cols can never win: their scores are 0 and cand masks them
 
     # post-hoc within-block argmax: gather the 4 corner scores of each
@@ -156,13 +210,13 @@ def detect_octave(
     # on this platform is per-call, not per-element)
     sboth = jnp.concatenate(
         [s_max.reshape(B, 1, -1), s_min.reshape(B, 1, -1)], axis=1
-    ).reshape(B, -1)                                 # [B, 2*S*He*We]
-    plane_sz = S * He * We
+    ).reshape(B, -1)                                 # [B, 2*S*Hs*Ws]
+    plane_sz = S * Hs * Ws
 
     def corner_idx(dy, dx):
-        yy2 = jnp.clip(by + dy, 0, He - 1)
-        xx2 = jnp.clip(bx + dx, 0, We - 1)
-        return typ * plane_sz + (l - 1) * (He * We) + yy2 * We + xx2
+        yy2 = jnp.clip(by + dy, 0, Hs - 1)
+        xx2 = jnp.clip(bx + dx, 0, Ws - 1)
+        return typ * plane_sz + (l - 1) * (Hs * Ws) + yy2 * Ws + xx2
 
     cidx = jnp.concatenate(
         [corner_idx(dy, dx) for dy in (0, 1) for dx in (0, 1)], axis=1

@@ -1,0 +1,181 @@
+"""Pallas TPU kernel: fused dense keypoint-score pass over the DoG volume.
+
+TPU-native replacement for the dense half of `ProgramCU::ComputeKEY`
+(SURVEY.md §2.4 item 3 ⚠ — 26-neighbor extremum test, contrast
+pre-threshold, Hessian edge-ratio test).  The XLA formulation in
+`frontend/detect.py` materializes ~10 full-volume intermediates (two 3x3
+pools, an 8-neighbor shift reduction, four padded Hessian shifts, mask
+products); at 4K that is ~45 ms of HBM traffic for what is arithmetically a
+single stencil.  This kernel reads each DoG tile once (double-buffered row
+slabs, halo rows re-read only at the 8-sublane alignment granularity) and
+emits the two masked score planes
+
+    smax[b, s, y, x] = |dog[b, s+1, y, x]|  if it is a strict 26-neighbor
+                       MAXIMUM passing pre-threshold + edge + border tests
+    smin             = same for strict minima
+
+that feed the shared pooled-top-k compaction tail in `detect.py`.  Outputs
+are bit-identical to the XLA path (same f32 compares and selects), padded
+with zeros to (Hp, Wo) tile geometry — padded cells can never win top-k.
+
+Geometry: row slabs of TH rows (TH chosen so two slab buffers fit VMEM) with
+8 halo rows above/below (DMA sublane alignment); the lane axis is loaded
+whole with a 128-lane zero apron on each side so the dx = ±1 stencil taps
+are plain static slices; compute runs in 512-lane chunks to bound register
+temporaries.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["detect_scores"]
+
+_CW = 512          # lane chunk per compute step
+_WIN_BYTES = 4_500_000  # budget for the double-buffered window scratch
+
+
+def _kernel(
+    dog_hbm, omax_ref, omin_ref, win, sems,
+    *, S, nty, TH, Wo, W, ylo, yhi, thr, edge_r,
+):
+    b = pl.program_id(0)
+    s = pl.program_id(1)
+    ty = pl.program_id(2)
+    n_total = pl.num_programs(0) * S * nty
+    i = (b * S + s) * nty + ty
+    slot = jax.lax.rem(i, 2)
+    nslot = jax.lax.rem(i + 1, 2)
+
+    def dma(bb, ss, tt, dslot):
+        return pltpu.make_async_copy(
+            dog_hbm.at[bb, pl.ds(ss, 3), pl.ds(tt * TH, TH + 16), :],
+            win.at[dslot], sems.at[dslot],
+        )
+
+    @pl.when(i == 0)
+    def _warmup():
+        dma(b, s, ty, slot).start()
+
+    # prefetch the next grid step's slab (grid order: b slowest, ty fastest)
+    t2 = jax.lax.rem(ty + 1, nty)
+    carry_t = (ty + 1 == nty).astype(jnp.int32)
+    s2 = jax.lax.rem(s + carry_t, S)
+    carry_s = carry_t * (s + 1 == S).astype(jnp.int32)
+    b2 = b + carry_s
+
+    @pl.when(i + 1 < n_total)
+    def _prefetch():
+        dma(b2, s2, t2, nslot).start()
+
+    dma(b, s, ty, slot).wait()
+
+    edge_c = (edge_r + 1.0) ** 2 / edge_r
+    for c0 in range(0, Wo, _CW):
+        cw = min(_CW, Wo - c0)
+
+        def sl(p, dy, dx):
+            # apron: win lane 128+j holds image col j; sublane 8+i holds
+            # slab row i (real row ty*TH + i)
+            return win[slot, p, 8 + dy : 8 + dy + TH,
+                       128 + c0 + dx : 128 + c0 + dx + cw]
+
+        v = sl(1, 0, 0)
+        nmax = None
+        nmin = None
+        for p in (0, 1, 2):
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    if p == 1 and dy == 0 and dx == 0:
+                        continue
+                    t = sl(p, dy, dx)
+                    nmax = t if nmax is None else jnp.maximum(nmax, t)
+                    nmin = t if nmin is None else jnp.minimum(nmin, t)
+
+        pre = jnp.abs(v) > 0.8 * thr
+        is_max = (v > 0) & (v > nmax) & pre
+        is_min = (v < 0) & (v < nmin) & pre
+
+        # Hessian edge-ratio test on the center DoG slice (same expressions
+        # as detect.py so results match bit-for-bit)
+        dxx = sl(1, 0, 1) + sl(1, 0, -1) - 2 * v
+        dyy = sl(1, 1, 0) + sl(1, -1, 0) - 2 * v
+        dxy = 0.25 * (sl(1, 1, 1) - sl(1, 1, -1) - sl(1, -1, 1) + sl(1, -1, -1))
+        tr = dxx + dyy
+        det = dxx * dyy - dxy * dxy
+        edge_ok = (det > 0) & (tr * tr / jnp.where(det > 0, det, 1.0) < edge_c)
+
+        rows = jax.lax.broadcasted_iota(jnp.int32, (TH, cw), 0) + ty * TH
+        cols = jax.lax.broadcasted_iota(jnp.int32, (TH, cw), 1) + c0
+        keep = (
+            edge_ok
+            & (rows >= ylo) & (rows <= yhi)
+            & (cols >= 1) & (cols <= W - 2)
+        )
+        av = jnp.abs(v)
+        zero = jnp.zeros_like(av)
+        omax_ref[0, 0, :, pl.ds(c0, cw)] = jnp.where(is_max & keep, av, zero)
+        omin_ref[0, 0, :, pl.ds(c0, cw)] = jnp.where(is_min & keep, av, zero)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("ylo", "yhi", "thr", "edge_r", "interpret")
+)
+def _detect_scores_impl(dog, *, ylo, yhi, thr, edge_r, interpret):
+    B, L, H, W = dog.shape
+    S = L - 2
+    Wo = -(-W // 128) * 128
+    # slab height: two (3, TH+16, Wo+256) f32 buffers within budget
+    th_fit = _WIN_BYTES // (24 * (Wo + 256)) - 16
+    TH = max(8, min(64, (th_fit // 8) * 8, -(-H // 8) * 8))
+    nty = -(-H // TH)
+    Hp = nty * TH
+
+    dogp = jnp.pad(
+        dog.astype(jnp.float32),
+        ((0, 0), (0, 0), (8, Hp - H + 8), (128, Wo - W + 128)),
+    )
+    kern = functools.partial(
+        _kernel, S=S, nty=nty, TH=TH, Wo=Wo, W=W,
+        ylo=ylo, yhi=yhi, thr=thr, edge_r=edge_r,
+    )
+    out_spec = pl.BlockSpec(
+        (1, 1, TH, Wo), lambda b, s, t: (b, s, t, 0), memory_space=pltpu.VMEM
+    )
+    smax, smin = pl.pallas_call(
+        kern,
+        grid=(B, S, nty),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=[out_spec, out_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, S, Hp, Wo), jnp.float32),
+            jax.ShapeDtypeStruct((B, S, Hp, Wo), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, 3, TH + 16, Wo + 256), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(dogp)
+    return smax, smin
+
+
+def detect_scores(dog, cfg, owned_rows=None, interpret: bool = False):
+    """dog: [B, S+2, H, W] DoG volume.  Returns (smax, smin) [B, S, Hp, Wo]
+    masked per-type candidate scores (zero outside the valid region and on
+    the Hp/Wo tile padding).  `owned_rows=(lo, hi)` restricts candidates to
+    rows [lo, hi) — both must be static ints (the spatially-sharded path
+    passes per-shard slab constants)."""
+    H = dog.shape[2]
+    lo, hi = owned_rows if owned_rows is not None else (0, H)
+    return _detect_scores_impl(
+        dog,
+        ylo=max(1, int(lo)), yhi=min(H - 2, int(hi) - 1),
+        thr=float(cfg.dog_threshold), edge_r=float(cfg.edge_threshold),
+        interpret=interpret,
+    )

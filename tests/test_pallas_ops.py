@@ -82,3 +82,41 @@ def test_descriptors_pallas_path_matches_xla_path():
         np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1), 1e-9
     )
     assert cos.min() > 0.9995
+
+
+def test_detect_scores_kernel_matches_xla_dense_path():
+    """Fused detect-scores stencil (ops/detect_scores.py) must reproduce the
+    XLA dense masks bit-for-bit, including owned-rows restriction, odd sizes,
+    and zeroed tile padding; detect_octave output must be identical."""
+    from siftgpu_tpu.frontend import detect
+    from siftgpu_tpu.ops.detect_scores import detect_scores
+
+    for H, W in [(64, 96), (57, 130)]:
+        cfg = SiftConfig(height=H, width=W, max_keypoints=256)
+        img = fixtures.random_texture(H, W, seed=3, smooth=2)
+        pyr = pyramid.build_pyramid(jnp.asarray(img)[None], cfg)
+        for oc in pyr[:2]:
+            Hd, Wd = oc.dog.shape[-2:]
+            for owned in (None, (5, Hd - 7)):
+                sx, sn = detect._dense_scores_xla(oc.dog, cfg, owned)
+                kx, kn = detect_scores(oc.dog, cfg, owned, interpret=True)
+                He, We = sx.shape[-2:]
+                for a, b in ((sx, kx), (sn, kn)):
+                    a, b = np.asarray(a), np.asarray(b)
+                    assert np.array_equal(b[:, :, :He, :We], a)
+                    assert b[:, :, He:, :].sum() == 0
+                    assert b[:, :, :, We:].sum() == 0
+
+                d1 = detect.detect_octave(
+                    oc, cfg, 128, owned_rows=owned, scores_impl="xla"
+                )
+                d2 = detect.detect_octave(
+                    oc, cfg, 128, owned_rows=owned,
+                    scores_impl="pallas_interpret",
+                )
+                assert np.array_equal(np.asarray(d1.mask), np.asarray(d2.mask))
+                m = np.asarray(d1.mask)
+                for f in d1._fields:
+                    v1 = np.asarray(getattr(d1, f))[m]
+                    v2 = np.asarray(getattr(d2, f))[m]
+                    assert np.array_equal(v1, v2), f
