@@ -101,6 +101,10 @@ class SiftConfig:
     # --- conventions / numerics ---
     lowe_origin: bool = False
     pyramid_dtype: str = "float32"
+    # f32 matmul emulation for the banded-matmul blur path: "high" = 3-pass
+    # bf16 (<= 2e-5 abs DoG error, ~20% faster pyramids), "highest" = 6-pass.
+    # The CPU conv path is exact regardless.
+    pyramid_precision: str = "high"
     use_pallas: bool = True        # Pallas kernels where available, else pure XLA
 
     # ---------------- derived static geometry ----------------

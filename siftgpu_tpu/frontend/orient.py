@@ -43,13 +43,43 @@ class GradStack(NamedTuple):
     global_h: int      # full-image height at this octave
 
 
+def _pick_grad_impl(cfg: SiftConfig) -> str:
+    if not cfg.use_pallas:
+        return "xla"
+    try:
+        return "xla" if jax.default_backend() == "cpu" else "pallas"
+    except Exception:
+        return "xla"
+
+
 def gradient_stack(
     gauss: jax.Array, cfg: SiftConfig, y0: jax.Array | None = None,
-    global_h: int | None = None,
+    global_h: int | None = None, impl: str | None = None,
 ) -> GradStack:
-    """gauss: [B, S+3, H, W] -> central-difference grads of levels 1..S."""
+    """gauss: [B, S+3, H, W] -> central-difference grads of levels 1..S.
+
+    `impl`: "xla" | "pallas" | "pallas_interpret" (default auto: the fused
+    Pallas stencil on accelerators — ops/grad_stencil.py, bit-identical)."""
     g = gauss[:, 1 : cfg.dog_levels + 1].astype(jnp.float32)
     B, S, H, W = g.shape
+
+    impl = impl or _pick_grad_impl(cfg)
+    if impl.startswith("pallas"):
+        from ..ops.grad_stencil import grad_stencil
+        from ..ops.kp_engine import window_geometry
+
+        win = 2 * cfg.orient_window_radius + 1
+        _, win_y, win_x, _, _ = window_geometry(cfg)
+        gx, gy = grad_stencil(
+            g, y0=y0, global_h=global_h,
+            min_h=max(win, win_y), min_w=max(win, win_x),
+            interpret=(impl == "pallas_interpret"),
+        )
+        return GradStack(
+            gx=gx, gy=gy, h=H, w=W,
+            y0=jnp.zeros((), jnp.int32) if y0 is None else y0,
+            global_h=H if global_h is None else global_h,
+        )
     gp = jnp.pad(g, ((0, 0), (0, 0), (1, 1), (1, 1)), mode="edge")
     gx = 0.5 * (gp[:, :, 1 : H + 1, 2:] - gp[:, :, 1 : H + 1, :W])
     gy = 0.5 * (gp[:, :, 2:, 1 : W + 1] - gp[:, :, :H, 1 : W + 1])

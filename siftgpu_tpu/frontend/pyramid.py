@@ -68,8 +68,17 @@ def _band_matrix(n: int, taps: jax.Array, dtype) -> jax.Array:
     return out
 
 
-_TB = 256           # output tile per blocked-band matmul
+_TB = 128           # output tile per blocked-band matmul (128 beat 256/512
+                    # at 4K on v5e: denser band -> half the wasted MXU FLOPs)
 _BLOCK_MIN = 512    # use blocked banded matmuls above this dimension
+
+# 3-pass bf16 ("HIGH") vs 6-pass ("HIGHEST") f32 matmul emulation: HIGH
+# leaves <= 2e-5 absolute DoG error (300x below the contrast threshold;
+# the bf16 default's 4e-3 is what breaks parity) and runs ~20% faster at 4K.
+_PRECISIONS = {
+    "high": jax.lax.Precision.HIGH,
+    "highest": jax.lax.Precision.HIGHEST,
+}
 
 
 def _band_tiles(taps: jax.Array, dtype):
@@ -111,14 +120,13 @@ def _edge_extend(x: jax.Array, r: int, nt: int, axis: int) -> jax.Array:
     return jnp.pad(ext, pad)
 
 
-def _blur_rows_blocked(x: jax.Array, taps: jax.Array) -> jax.Array:
+def _blur_rows_blocked(x: jax.Array, taps: jax.Array, hi) -> jax.Array:
     B, H, W = x.shape
     r = (taps.shape[0] - 1) // 2
     no = -(-H // _TB)                   # output tiles
     nt = no + 1                         # input tiles (band spills into one more)
     ext = _edge_extend(x, r, nt, axis=1).reshape(B, nt, _TB, W)
     a0, a1 = _band_tiles(taps, x.dtype)
-    hi = jax.lax.Precision.HIGHEST
     y = (
         jnp.einsum("ij,btjw->btiw", a0, ext[:, :no], precision=hi)
         + jnp.einsum("ij,btjw->btiw", a1, ext[:, 1 : no + 1], precision=hi)
@@ -126,14 +134,13 @@ def _blur_rows_blocked(x: jax.Array, taps: jax.Array) -> jax.Array:
     return y.reshape(B, no * _TB, W)[:, :H]
 
 
-def _blur_cols_blocked(x: jax.Array, taps: jax.Array) -> jax.Array:
+def _blur_cols_blocked(x: jax.Array, taps: jax.Array, hi) -> jax.Array:
     B, H, W = x.shape
     r = (taps.shape[0] - 1) // 2
     no = -(-W // _TB)
     nt = no + 1
     ext = _edge_extend(x, r, nt, axis=2).reshape(B, H, nt, _TB)
     a0, a1 = _band_tiles(taps, x.dtype)
-    hi = jax.lax.Precision.HIGHEST
     y = (
         jnp.einsum("bhnj,cj->bhnc", ext[:, :, :no], a0, precision=hi)
         + jnp.einsum("bhnj,cj->bhnc", ext[:, :, 1 : no + 1], a1, precision=hi)
@@ -141,21 +148,21 @@ def _blur_cols_blocked(x: jax.Array, taps: jax.Array) -> jax.Array:
     return y.reshape(B, H, no * _TB)[:, :, :W]
 
 
-def _blur_matmul(x: jax.Array, taps: jax.Array) -> jax.Array:
+def _blur_matmul(x: jax.Array, taps: jax.Array, precision: str) -> jax.Array:
     """Separable blur as two banded matmuls — MXU work.  XLA's C=1 convs and
     lane-shifted adds both run ~30x off bandwidth on TPU (636 ms for a 1080p
     pyramid); banded matmuls run at MXU speed.  Large dimensions use the
     blocked form (`_band_block`), small ones the full [n, n] band matrix
     (identical nonzero terms in the same order — results match exactly)."""
     B, H, W = x.shape
-    hi = jax.lax.Precision.HIGHEST
+    hi = _PRECISIONS[precision]
     if H > _BLOCK_MIN:
-        y = _blur_rows_blocked(x, taps)
+        y = _blur_rows_blocked(x, taps, hi)
     else:
         th = _band_matrix(H, taps, x.dtype)
         y = jnp.einsum("ij,bjw->biw", th, x, precision=hi)
     if W > _BLOCK_MIN:
-        return _blur_cols_blocked(y, taps)
+        return _blur_cols_blocked(y, taps, hi)
     tw = _band_matrix(W, taps, x.dtype)
     return jnp.einsum("biw,vw->biv", y, tw, precision=hi)
 
@@ -167,15 +174,19 @@ def _use_matmul_blur() -> bool:
         return False
 
 
-def blur_separable(x: jax.Array, taps: np.ndarray, force=None) -> jax.Array:
+def blur_separable(
+    x: jax.Array, taps: np.ndarray, force=None, precision: str = "high"
+) -> jax.Array:
     """Separable Gaussian blur of [B, H, W] with replicate padding.
 
     Two mathematically identical implementations: banded matmuls on
-    accelerators (MXU), explicit convs on CPU (`force`: "conv" | "matmul")."""
+    accelerators (MXU), explicit convs on CPU (`force`: "conv" | "matmul").
+    `precision` selects the f32 matmul emulation ("high" = 3-pass bf16,
+    <= 2e-5 abs error; "highest" = 6-pass) — the conv path is always exact."""
     t = jnp.asarray(taps, dtype=x.dtype)
     mode = force or ("matmul" if _use_matmul_blur() else "conv")
     if mode == "matmul":
-        return _blur_matmul(x, t)
+        return _blur_matmul(x, t, precision)
     return _conv1d(_conv1d(x, t, 2), t, 1)
 
 
@@ -203,13 +214,20 @@ def build_pyramid(images: jax.Array, cfg: SiftConfig) -> Tuple[Octave, ...]:
     x = images.astype(jnp.dtype(cfg.pyramid_dtype))
     if cfg.upsampled:
         x = upsample2x(x)
-    base = blur_separable(x, cfg.gaussian_taps(cfg.initial_blur_sigma()))
+    prec = cfg.pyramid_precision
+    base = blur_separable(
+        x, cfg.gaussian_taps(cfg.initial_blur_sigma()), precision=prec
+    )
     inc = cfg.incremental_sigmas()
     octaves: List[Octave] = []
     for o in range(cfg.octaves):
         levels = [base]
         for s in inc:
-            levels.append(blur_separable(levels[-1], cfg.gaussian_taps(float(s))))
+            levels.append(
+                blur_separable(
+                    levels[-1], cfg.gaussian_taps(float(s)), precision=prec
+                )
+            )
         gauss = jnp.stack(levels, axis=1)          # [B, S+3, H, W]
         dog = gauss[:, 1:] - gauss[:, :-1]         # [B, S+2, H, W]
         octaves.append(Octave(gauss=gauss, dog=dog))

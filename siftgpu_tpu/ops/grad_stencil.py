@@ -1,0 +1,162 @@
+"""Pallas TPU kernel: fused central-difference gradient stack.
+
+TPU-native replacement for the gradient half of `ProgramCU::ComputeDOG`
+(SURVEY.md §2.4 item 2 ⚠ — the reference fuses DoG + gradients in one CUDA
+pass; our DoG is a free XLA subtraction inside the pyramid, but the gradient
+stack's shifted subtractions plus four one-sided `.at[].set` edge fixups cost
+several dense HBM round trips in XLA, ~4 ms at 4K).  One slab pass computes
+
+    gx = 0.5 (g[y, x+1] - g[y, x-1])      (one-sided, unhalved, at x = 0/W-1)
+    gy = 0.5 (g[y+1, x] - g[y-1, x])      (one-sided, unhalved, at y = 0/H-1)
+
+with the spatially-sharded boundary-row x2 factor (see
+`frontend/orient.gradient_stack`) applied in-kernel.  Bit-identical to the
+XLA path; outputs are zero beyond (H, W) up to the padded (Hp, Wo) tile
+geometry the fused keypoint engine wants, so no re-pad copy downstream.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["grad_stencil"]
+
+_CW = 512
+_WIN_BYTES = 4_500_000
+
+
+def _kernel(
+    y0_ref, g_hbm, gx_ref, gy_ref, win, sems,
+    *, S, nty, TH, Wo, H, W, global_h, use_y0,
+):
+    b = pl.program_id(0)
+    s = pl.program_id(1)
+    ty = pl.program_id(2)
+    n_total = pl.num_programs(0) * S * nty
+    i = (b * S + s) * nty + ty
+    slot = jax.lax.rem(i, 2)
+    nslot = jax.lax.rem(i + 1, 2)
+
+    def dma(bb, ss, tt, dslot):
+        return pltpu.make_async_copy(
+            g_hbm.at[bb, ss, pl.ds(tt * TH, TH + 16), :],
+            win.at[dslot], sems.at[dslot],
+        )
+
+    @pl.when(i == 0)
+    def _warmup():
+        dma(b, s, ty, slot).start()
+
+    t2 = jax.lax.rem(ty + 1, nty)
+    carry_t = (ty + 1 == nty).astype(jnp.int32)
+    s2 = jax.lax.rem(s + carry_t, S)
+    carry_s = carry_t * (s + 1 == S).astype(jnp.int32)
+    b2 = b + carry_s
+
+    @pl.when(i + 1 < n_total)
+    def _prefetch():
+        dma(b2, s2, t2, nslot).start()
+
+    dma(b, s, ty, slot).wait()
+
+    y0 = y0_ref[0, 0]
+    for c0 in range(0, Wo, _CW):
+        cw = min(_CW, Wo - c0)
+
+        def sl(dy, dx):
+            return win[slot, 8 + dy : 8 + dy + TH,
+                       128 + c0 + dx : 128 + c0 + dx + cw]
+
+        v = sl(0, 0)
+        r = sl(0, 1)
+        l = sl(0, -1)
+        d = sl(1, 0)
+        u = sl(-1, 0)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (TH, cw), 0) + ty * TH
+        cols = jax.lax.broadcasted_iota(jnp.int32, (TH, cw), 1) + c0
+        gx = jnp.where(
+            cols == 0, r - v,
+            jnp.where(cols == W - 1, v - l, 0.5 * (r - l)),
+        )
+        gy = jnp.where(
+            rows == 0, d - v,
+            jnp.where(rows == H - 1, v - u, 0.5 * (d - u)),
+        )
+        if use_y0:
+            # spatially-sharded slab: TRUE image boundary rows sit interior
+            # to the slab; the central diff there is half the single-chip
+            # one-sided value — x2 restores bit-parity (orient.gradient_stack)
+            grow = rows + y0
+            gy = gy * jnp.where((grow == 0) | (grow == global_h - 1), 2.0, 1.0)
+        # zero the tile padding so downstream window DMAs read exact zeros
+        inimg = (rows <= H - 1) & (cols <= W - 1)
+        zero = jnp.zeros_like(v)
+        gx_ref[0, 0, :, pl.ds(c0, cw)] = jnp.where(inimg, gx, zero)
+        gy_ref[0, 0, :, pl.ds(c0, cw)] = jnp.where(inimg, gy, zero)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("global_h", "use_y0", "min_h", "min_w", "interpret"),
+)
+def _grad_stencil_impl(g, y0, *, global_h, use_y0, min_h, min_w, interpret):
+    B, S, H, W = g.shape
+    Wo = max(-(-W // 128) * 128, -(-min_w // 128) * 128)
+    th_fit = _WIN_BYTES // (8 * (Wo + 256)) - 16
+    TH = max(8, min(128, (th_fit // 8) * 8, -(-H // 8) * 8))
+    nty = max(-(-H // TH), -(-min_h // TH))
+    Hp = nty * TH
+
+    gp = jnp.pad(
+        g.astype(jnp.float32),
+        ((0, 0), (0, 0), (8, Hp - H + 8), (128, Wo - W + 128)),
+    )
+    kern = functools.partial(
+        _kernel, S=S, nty=nty, TH=TH, Wo=Wo, H=H, W=W,
+        global_h=global_h, use_y0=use_y0,
+    )
+    out_spec = pl.BlockSpec(
+        (1, 1, TH, Wo), lambda b, s, t: (b, s, t, 0), memory_space=pltpu.VMEM
+    )
+    gx, gy = pl.pallas_call(
+        kern,
+        grid=(B, S, nty),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda b, s, t: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[out_spec, out_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, S, Hp, Wo), jnp.float32),
+            jax.ShapeDtypeStruct((B, S, Hp, Wo), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, TH + 16, Wo + 256), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(y0.astype(jnp.int32).reshape(1, 1), gp)
+    return gx, gy
+
+
+def grad_stencil(
+    g: jax.Array, y0=None, global_h: int | None = None,
+    min_h: int = 0, min_w: int = 0, interpret: bool = False,
+):
+    """g: [B, S, H, W] Gaussian levels 1..S.  Returns (gx, gy) [B, S, Hp, Wo]
+    with Hp >= max(H_tiles, min_h) and Wo >= max(W_128, min_w, 256) — sized so
+    the fused keypoint engine needs no re-pad.  `y0` (traced scalar) +
+    `global_h` enable the sharded-slab boundary-row factor."""
+    use_y0 = y0 is not None and global_h is not None
+    return _grad_stencil_impl(
+        g,
+        jnp.zeros((), jnp.int32) if y0 is None else jnp.asarray(y0),
+        global_h=int(global_h) if use_y0 else g.shape[2],
+        use_y0=use_y0, min_h=int(min_h), min_w=max(int(min_w), 256),
+        interpret=interpret,
+    )

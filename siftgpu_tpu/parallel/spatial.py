@@ -111,11 +111,16 @@ def _octave_levels(
     levels = []
     x = base
     if first:
-        x = pyramid.blur_separable(x, cfg.gaussian_taps(cfg.initial_blur_sigma()))
+        x = pyramid.blur_separable(
+            x, cfg.gaussian_taps(cfg.initial_blur_sigma()),
+            precision=cfg.pyramid_precision,
+        )
         x = _reclamp(x, h, idx, n)
     levels.append(x)
     for s in cfg.incremental_sigmas():
-        x = pyramid.blur_separable(x, cfg.gaussian_taps(float(s)))
+        x = pyramid.blur_separable(
+            x, cfg.gaussian_taps(float(s)), precision=cfg.pyramid_precision
+        )
         x = _reclamp(x, h, idx, n)
         levels.append(x)
     gauss = jnp.stack(levels, axis=1)
@@ -182,12 +187,16 @@ def extract_features_spatial(
                     # (only possible when no spatial octave ran at all)
                     levels = [
                         pyramid.blur_separable(
-                            x, cfg.gaussian_taps(cfg.initial_blur_sigma())
+                            x, cfg.gaussian_taps(cfg.initial_blur_sigma()),
+                            precision=cfg.pyramid_precision,
                         )
                     ]
                 for s in cfg.incremental_sigmas():
                     levels.append(
-                        pyramid.blur_separable(levels[-1], cfg.gaussian_taps(float(s)))
+                        pyramid.blur_separable(
+                            levels[-1], cfg.gaussian_taps(float(s)),
+                            precision=cfg.pyramid_precision,
+                        )
                     )
                 gauss = jnp.stack(levels, axis=1)
                 octv = Octave(gauss=gauss, dog=gauss[:, 1:] - gauss[:, :-1])

@@ -120,3 +120,34 @@ def test_detect_scores_kernel_matches_xla_dense_path():
                     v1 = np.asarray(getattr(d1, f))[m]
                     v2 = np.asarray(getattr(d2, f))[m]
                     assert np.array_equal(v1, v2), f
+
+
+def test_grad_stencil_matches_xla_gradient_stack():
+    """Fused gradient stencil (ops/grad_stencil.py) must match the XLA
+    gradient_stack bit-for-bit within (h, w), zero-fill the tile padding, and
+    reproduce the sharded-slab boundary-row factor."""
+    from siftgpu_tpu.frontend import orient
+
+    for H, W in [(64, 96), (57, 130)]:
+        cfg = SiftConfig(height=H, width=W, max_keypoints=256)
+        img = fixtures.random_texture(H, W, seed=3, smooth=2)
+        pyr = pyramid.build_pyramid(jnp.asarray(img)[None], cfg)
+        for oc in pyr[:2]:
+            g1 = orient.gradient_stack(oc.gauss, cfg, impl="xla")
+            g2 = orient.gradient_stack(oc.gauss, cfg, impl="pallas_interpret")
+            h, w = g1.h, g1.w
+            for a, b in ((g1.gx, g2.gx), (g1.gy, g2.gy)):
+                a, b = np.asarray(a), np.asarray(b)
+                assert np.array_equal(a[:, :, :h, :w], b[:, :, :h, :w])
+                assert b[:, :, h:, :].sum() == 0
+                assert b[:, :, :, w:].sum() == 0
+            y0 = jnp.asarray(-3, jnp.int32)
+            g3 = orient.gradient_stack(
+                oc.gauss, cfg, y0=y0, global_h=h + 10, impl="xla"
+            )
+            g4 = orient.gradient_stack(
+                oc.gauss, cfg, y0=y0, global_h=h + 10, impl="pallas_interpret"
+            )
+            assert np.array_equal(
+                np.asarray(g3.gy)[:, :, :h, :w], np.asarray(g4.gy)[:, :, :h, :w]
+            )
