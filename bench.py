@@ -90,8 +90,11 @@ def main() -> None:
 
     # Steady state.  The device executes dispatches in order, so queueing all
     # iterations and syncing once amortizes the host<->device round-trip
-    # (~25 ms on the tunneled platform) instead of paying it per iteration.
-    iters = 10
+    # (~25 ms on the tunneled platform) instead of paying it per iteration;
+    # the queue must be deep enough that the initial pipeline fill (one RTT)
+    # is negligible per iteration (10 iters left ~2.5 ms/iter of RTT inside
+    # the number).
+    iters = 40
     t0 = time.perf_counter()
     all_feats = [extract() for _ in range(iters)]
     _sync(all_feats[-1].mask)
@@ -124,7 +127,7 @@ def main() -> None:
         )
         f2 = extract_features_jit(img2, cfg2)
         _sync(f2.mask)
-        n2 = 5
+        n2 = 20
         t0 = time.perf_counter()
         fs = [extract_features_jit(img2, cfg2) for _ in range(n2)]
         _sync(fs[-1].mask)
@@ -137,6 +140,29 @@ def main() -> None:
         )
     except Exception as e:  # pragma: no cover - secondary metric must not kill bench
         print(f"1080p bench failed: {e}", file=sys.stderr)
+
+    # tertiary: 4K extraction (config 3 upper end; the reference caps its
+    # working dim at ~3200 px and would downsample 4K — we run it native)
+    try:
+        H3, W3 = 2160, 3840
+        cfg3 = SiftConfig(height=H3, width=W3, max_keypoints=8192)
+        img3 = jax.device_put(
+            jnp.asarray(fixtures.random_texture(H3, W3, seed=9, smooth=3)[None])
+        )
+        f3 = extract_features_jit(img3, cfg3)
+        _sync(f3.mask)
+        n3 = 10
+        t0 = time.perf_counter()
+        fs3 = [extract_features_jit(img3, cfg3) for _ in range(n3)]
+        _sync(fs3[-1].mask)
+        dt3 = (time.perf_counter() - t0) / n3
+        print(
+            f"4K: {dt3 * 1e3:.1f} ms/frame, {1 / dt3:.1f} fps, "
+            f"{int(np.asarray(fs3[-1].count)[0])} kp",
+            file=sys.stderr,
+        )
+    except Exception as e:  # pragma: no cover
+        print(f"4K bench failed: {e}", file=sys.stderr)
 
     print(
         json.dumps(
