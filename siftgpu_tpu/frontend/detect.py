@@ -5,12 +5,15 @@ list generation (`InitHist/ReduceHist/ListGen`, SURVEY.md §2.4 items 3-4 ⚠).
 The reference compacts variable-length keypoint lists on the GPU and reads the
 count back to the host; here there are NO host syncs and NO dynamic shapes:
 
-  1. dense extrema / contrast / edge masks over the DoG volume (cheap VPU work);
+  1. dense extrema / contrast / edge masks over the DoG volume in one fused
+     Pallas stencil pass on accelerators (ops/detect_scores.py);
   2. per-octave `top_k` of |DoG| over 2x2-pooled candidate scores into a
      fixed-capacity buffer (deterministic: score desc, flat index asc —
-     SURVEY §7.4 item 1), winner pixel recovered by a post-hoc corner gather;
+     SURVEY §7.4 item 1), winner pixel recovered from the block corner index
+     packed in the score's low mantissa bits;
   3. ONE packed `take_along_axis` pulls all 27 DoG neighbors of every
-     survivor (gather cost on this platform is per-call, not per-element);
+     survivor — merged across ALL octaves by `detect_pyramid` (gather cost
+     on this platform is per-call, not per-element);
   4. vectorized closed-form (Cramer) 3x3 solve for subpixel offsets, final
      contrast + border tests folded into the validity mask.
 
@@ -28,7 +31,11 @@ import jax.numpy as jnp
 from ..core.config import SiftConfig
 from .pyramid import Octave
 
-__all__ = ["OctaveKeypoints", "detect_octave"]
+__all__ = [
+    "OctaveKeypoints", "OctaveWinners",
+    "detect_octave", "detect_pyramid", "detect_winners",
+    "patch_indices", "refine_patches",
+]
 
 
 class OctaveKeypoints(NamedTuple):
@@ -125,8 +132,13 @@ def _dense_scores_xla(dog: jax.Array, cfg: SiftConfig, owned_rows):
         base_keep &= (yy[None, None] >= lo) & (yy[None, None] < hi)
 
     He, We = H + (H % 2), W + (W % 2)
-    s_max = jnp.abs(v) * (is_max & base_keep)
-    s_min = jnp.abs(v) * (is_min & base_keep)
+    # pack the pixel's 2x2-block corner index (y&1)*2 + (x&1) into the two
+    # low mantissa bits (<= 2^-22 relative perturbation): after the 2x2 max
+    # pool the winner's within-block position rides along in the top-k value,
+    # so no post-top-k corner gather is needed.  Zeros stay exactly zero.
+    par = (yy & 1) * 2 + (xx & 1)
+    s_max = _pack_corner(jnp.abs(v) * (is_max & base_keep), par[None, None])
+    s_min = _pack_corner(jnp.abs(v) * (is_min & base_keep), par[None, None])
     if (He, We) != (H, W):
         pad2 = ((0, 0), (0, 0), (0, He - H), (0, We - W))
         s_max = jnp.pad(s_max, pad2)
@@ -134,18 +146,46 @@ def _dense_scores_xla(dog: jax.Array, cfg: SiftConfig, owned_rows):
     return s_max, s_min
 
 
-def detect_octave(
-    oc: Octave, cfg: SiftConfig, cap: int, owned_rows=None,
+def _pack_corner(s: jax.Array, par: jax.Array) -> jax.Array:
+    """Overwrite the two low mantissa bits of positive scores with `par`."""
+    u = jax.lax.bitcast_convert_type(s.astype(jnp.float32), jnp.int32)
+    u = jnp.where(s > 0, (u & ~3) | par, 0)
+    return jax.lax.bitcast_convert_type(u, jnp.float32)
+
+
+class OctaveWinners(NamedTuple):
+    """Integer winner pixels of the pooled top-k, pre-refinement."""
+    py: jax.Array      # [B, cap] int32 winner row
+    px: jax.Array      # [B, cap] int32 winner col
+    l: jax.Array       # [B, cap] int32 DoG slice in [1, S]
+    cand: jax.Array    # [B, cap] bool (top-k slot holds a real candidate)
+
+
+def detect_winners(
+    dog: jax.Array, cfg: SiftConfig, cap: int, owned_rows=None,
     scores_impl: str | None = None,
-) -> OctaveKeypoints:
-    """`owned_rows=(lo, hi)` restricts candidates to slab rows [lo, hi) —
-    used by the spatially-sharded path so halo-region extrema neither consume
+) -> OctaveWinners:
+    """Dense scores -> 2x2-pooled top-k -> integer winner pixels.
+
+    `owned_rows=(lo, hi)` restricts candidates to slab rows [lo, hi) — used
+    by the spatially-sharded path so halo-region extrema neither consume
     top-k capacity nor get double-counted across shards.  `scores_impl`:
     "xla" | "pallas" | "pallas_interpret" (default: auto — the fused Pallas
-    stencil on accelerators, XLA on CPU; both produce identical planes)."""
-    dog = oc.dog                       # [B, S+2, H, W]
+    stencil on accelerators, XLA on CPU; both produce identical planes).
+
+    --- fixed-capacity compaction via EXACT 2x2-pooled top-k ---
+    Within one extremum TYPE, strict 26-neighbor extrema are never 8-adjacent
+    in a slice (a > all neighbors forbids an adjacent b > its neighbors), so
+    each 2x2 block holds at most one MAXIMUM and one MINIMUM candidate.
+    Pooling the two types separately and concatenating keeps top-k exact at
+    half the sort size.  (A max and a min CAN be adjacent — pooling |DoG|
+    jointly would drop one.)  Pooling uses a native strided reduce_window
+    (2.6 ms at 4K vs 40 ms for the reshape/moveaxis formulation it replaced);
+    the winner's within-block corner rides in the two low mantissa bits of
+    the score (`_pack_corner`), so no post-top-k corner gather is needed.
+    """
     B, L, H, W = dog.shape
-    S = cfg.dog_levels
+    S = L - 2
 
     impl = scores_impl or _pick_scores_impl(cfg)
     if impl.startswith("pallas"):
@@ -158,18 +198,6 @@ def detect_octave(
         s_max, s_min = _dense_scores_xla(dog, cfg, owned_rows)
     Hs, Ws = s_max.shape[-2:]          # even tile-padded plane dims
 
-    # --- fixed-capacity compaction via EXACT 2x2-pooled top-k ---
-    # Within one extremum TYPE, strict 26-neighbor extrema are never
-    # 8-adjacent in a slice (a > all neighbors forbids an adjacent b > its
-    # neighbors), so each 2x2 block holds at most one MAXIMUM and one MINIMUM
-    # candidate.  Pooling the two types separately and concatenating keeps
-    # top-k exact at half the sort size.  (A max and a min CAN be adjacent —
-    # pooling |DoG| jointly would drop one; caught by review.)
-    #
-    # Pooling uses a native strided reduce_window (2.6 ms at 4K vs 40 ms for
-    # the reshape/moveaxis formulation it replaced); the within-block argmax
-    # happens POST top-k by gathering the four corner scores of each winning
-    # block — a [B, 4*cap] gather instead of a dense [B, S, H/2, W/2] argmax.
     def pooled(score):
         return jax.lax.reduce_window(
             score, 0.0, jax.lax.max,
@@ -198,55 +226,37 @@ def detect_octave(
         top, bidx = jax.lax.top_k(bscore, cap)       # [B, cap]
     cand = top > 0.0
     bidx1 = bidx % nb1                               # drop the type axis
-    typ = bidx // nb1                                # 0 = max, 1 = min
     l = bidx1 // ((Hs // 2) * (Ws // 2)) + 1         # DoG slice index in [1, S]
     rem = bidx1 % ((Hs // 2) * (Ws // 2))
-    by = (rem // (Ws // 2)) * 2                      # block origin pixel
-    bx = (rem % (Ws // 2)) * 2
+    # winner pixel = block origin + the corner packed in the score mantissa
+    corner = jax.lax.bitcast_convert_type(top, jnp.int32) & 3
+    py = (rem // (Ws // 2)) * 2 + (corner >> 1)
+    px = (rem % (Ws // 2)) * 2 + (corner & 1)
     # padded rows/cols can never win: their scores are 0 and cand masks them
+    return OctaveWinners(py=py, px=px, l=l, cand=cand)
 
-    # post-hoc within-block argmax: gather the 4 corner scores of each
-    # winning block from the per-type score planes in ONE call (gather cost
-    # on this platform is per-call, not per-element)
-    sboth = jnp.concatenate(
-        [s_max.reshape(B, 1, -1), s_min.reshape(B, 1, -1)], axis=1
-    ).reshape(B, -1)                                 # [B, 2*S*Hs*Ws]
-    plane_sz = S * Hs * Ws
 
-    def corner_idx(dy, dx):
-        yy2 = jnp.clip(by + dy, 0, Hs - 1)
-        xx2 = jnp.clip(bx + dx, 0, Ws - 1)
-        return typ * plane_sz + (l - 1) * (Hs * Ws) + yy2 * Ws + xx2
-
-    cidx = jnp.concatenate(
-        [corner_idx(dy, dx) for dy in (0, 1) for dx in (0, 1)], axis=1
-    )                                                # [B, 4*cap] (a=dy, b=dx order)
-    cvals = jnp.take_along_axis(sboth, cidx, axis=1).reshape(B, 4, cap)
-    sub = jnp.argmax(cvals, axis=1).astype(jnp.int32)  # first-wins ties, as before
-    py = by + sub // 2
-    px = bx + sub % 2
-
-    # --- 3x3x3 patches at the <= cap winners: ONE packed gather ---
-    # flat indices into the DoG volume (l is 1-based, so l-1+dl in [0, S+1]);
-    # clamp keeps padded-row/col winners (already masked by `cand`) in range.
-    # Gather cost on this platform is per-CALL, so all 27 neighbors of all
-    # winners ride in a single take_along_axis (the vmapped dynamic_slice
-    # formulation this replaces cost 18 ms at 640x480; a dense whole-volume
-    # Cramer solve cost ~8 ms of pure HBM traffic at 4K).
-    yc = jnp.clip(py, 1, H - 2)
-    xc = jnp.clip(px, 1, W - 2)
-    base = l * (H * W) + yc * W + xc                 # [B, cap] center
+def patch_indices(win: OctaveWinners, H: int, W: int) -> jax.Array:
+    """[B, 27*cap] flat DoG-volume indices of the 3x3x3 patch per winner
+    (layout [dl, dy, dx, cap]; l is 1-based so l-1+dl stays in [0, S+1]).
+    Clamps keep padded-plane winners (masked by `cand`) in range."""
+    yc = jnp.clip(win.py, 1, H - 2)
+    xc = jnp.clip(win.px, 1, W - 2)
+    base = win.l * (H * W) + yc * W + xc             # [B, cap] center
     offs = [
         (dl * H + dy) * W + dx
         for dl in (-1, 0, 1) for dy in (-1, 0, 1) for dx in (-1, 0, 1)
     ]
-    pidx = jnp.concatenate([base + o for o in offs], axis=1)   # [B, 27*cap]
-    dogf = dog.reshape(B, L * H * W)
-    p = (
-        jnp.take_along_axis(dogf, pidx, axis=1)
-        .reshape(B, 3, 3, 3, cap)
-        .astype(jnp.float32)
-    )                                                # [B, l, y, x, cap]
+    return jnp.concatenate([base + o for o in offs], axis=1)
+
+
+def refine_patches(
+    p: jax.Array, win: OctaveWinners, cfg: SiftConfig, H: int, W: int
+) -> OctaveKeypoints:
+    """p: [B, 3, 3, 3, cap] gathered DoG patches ([dl, dy, dx] order) ->
+    Cramer 3x3 subpixel solve + final contrast/border tests."""
+    S = cfg.dog_levels
+    py, px, l, cand = win.py, win.px, win.l, win.cand
     vc = p[:, 1, 1, 1]
 
     # gradient
@@ -305,3 +315,59 @@ def detect_octave(
         y=fy, x=fx, level=fl, grad_level=grad_level, sigma=sigma,
         response=jnp.abs(val), mask=mask,
     )
+
+
+def detect_octave(
+    oc: Octave, cfg: SiftConfig, cap: int, owned_rows=None,
+    scores_impl: str | None = None,
+) -> OctaveKeypoints:
+    """Single-octave detection (see `detect_winners` for the semantics).
+    The multi-octave single-chip path uses `detect_pyramid`, which merges the
+    per-octave patch gathers into one call."""
+    dog = oc.dog                       # [B, S+2, H, W]
+    B, L, H, W = dog.shape
+    win = detect_winners(dog, cfg, cap, owned_rows, scores_impl)
+    pidx = patch_indices(win, H, W)
+    # ONE packed gather: all 27 neighbors of all winners in a single
+    # take_along_axis — gather cost on this platform is per-CALL (~1 ms),
+    # not per-element (the vmapped dynamic_slice formulation this replaces
+    # cost 18 ms at 640x480)
+    p = (
+        jnp.take_along_axis(dog.reshape(B, L * H * W), pidx, axis=1)
+        .reshape(B, 3, 3, 3, -1)
+        .astype(jnp.float32)
+    )
+    return refine_patches(p, win, cfg, H, W)
+
+
+def detect_pyramid(
+    pyr, cfg: SiftConfig, caps=None, scores_impl: str | None = None,
+):
+    """Detection over ALL octaves with the patch gathers of every octave
+    merged into ONE take_along_axis (per-call gather cost dominates the
+    per-octave formulation: 5 calls ~= 5 ms at 640x480).  Returns a list of
+    per-octave `OctaveKeypoints`, identical to calling `detect_octave` per
+    octave."""
+    caps = caps or [cfg.octave_cap(o) for o in range(len(pyr))]
+    B = pyr[0].dog.shape[0]
+    wins, pidxs, sizes = [], [], []
+    off = 0
+    for oc, cap in zip(pyr, caps):
+        _, L, H, W = oc.dog.shape
+        win = detect_winners(oc.dog, cfg, cap, None, scores_impl)
+        wins.append(win)
+        pidxs.append(patch_indices(win, H, W) + off)
+        sizes.append(L * H * W)
+        off += L * H * W
+    dogf = jnp.concatenate([oc.dog.reshape(B, -1) for oc in pyr], axis=1)
+    pall = jnp.take_along_axis(
+        dogf, jnp.concatenate(pidxs, axis=1), axis=1
+    ).astype(jnp.float32)
+
+    outs, col = [], 0
+    for oc, cap, win in zip(pyr, caps, wins):
+        _, L, H, W = oc.dog.shape
+        p = pall[:, col : col + 27 * cap].reshape(B, 3, 3, 3, cap)
+        col += 27 * cap
+        outs.append(refine_patches(p, win, cfg, H, W))
+    return outs

@@ -52,14 +52,18 @@ class Features(NamedTuple):
 
 
 def octave_candidates(
-    oc, cfg: SiftConfig, cap: int, y0=None, global_h=None, owned_rows=None
+    oc, cfg: SiftConfig, cap: int, y0=None, global_h=None, owned_rows=None,
+    kp=None,
 ):
     """Detect + orient + describe one octave.  Returns a dict of [B, cap *
     max_orientations] arrays in OCTAVE-LOCAL coordinates (y/x relative to the
     given slab; `y0`/`global_h` thread global-image bounds through for
-    spatially sharded slabs).  Shared by the single-chip and spatial paths."""
+    spatially sharded slabs).  Shared by the single-chip and spatial paths.
+    `kp` supplies pre-detected keypoints (the single-chip path detects all
+    octaves at once via `detect.detect_pyramid` to merge gather calls)."""
     B = oc.gauss.shape[0]
-    kp = detect.detect_octave(oc, cfg, cap, owned_rows=owned_rows)
+    if kp is None:
+        kp = detect.detect_octave(oc, cfg, cap, owned_rows=owned_rows)
     grads = orient.gradient_stack(oc.gauss, cfg, y0=y0, global_h=global_h)
     n = cfg.max_orientations
 
@@ -129,9 +133,10 @@ def extract_features(images: jax.Array, cfg: SiftConfig) -> Features:
     cfg.max_keypoints, ordered by response (desc), padded entries masked."""
     B = images.shape[0]
     pyr = pyramid.build_pyramid(images, cfg)
+    kps = detect.detect_pyramid(pyr, cfg)  # merged cross-octave patch gather
     parts = []
     for o, oc in enumerate(pyr):
-        cand = octave_candidates(oc, cfg, cfg.octave_cap(o))
+        cand = octave_candidates(oc, cfg, cfg.octave_cap(o), kp=kps[o])
         parts.append(to_image_coords(cand, cfg, o, B))
     return assemble_features(parts, cfg)
 

@@ -117,10 +117,19 @@ def _kernel(
             & (rows >= ylo) & (rows <= yhi)
             & (cols >= 1) & (cols <= W - 2)
         )
-        av = jnp.abs(v)
+        # pack the 2x2-block corner index into the two low mantissa bits
+        # (mirrors detect._pack_corner; winner position survives the pooled
+        # top-k so the tail needs no corner gather)
+        par = (rows & 1) * 2 + (cols & 1)
+        av = jax.lax.bitcast_convert_type(jnp.abs(v), jnp.int32)
+        av = (av & ~3) | par
         zero = jnp.zeros_like(av)
-        omax_ref[0, 0, :, pl.ds(c0, cw)] = jnp.where(is_max & keep, av, zero)
-        omin_ref[0, 0, :, pl.ds(c0, cw)] = jnp.where(is_min & keep, av, zero)
+        omax_ref[0, 0, :, pl.ds(c0, cw)] = jax.lax.bitcast_convert_type(
+            jnp.where(is_max & keep, av, zero), jnp.float32
+        )
+        omin_ref[0, 0, :, pl.ds(c0, cw)] = jax.lax.bitcast_convert_type(
+            jnp.where(is_min & keep, av, zero), jnp.float32
+        )
 
 
 @functools.partial(

@@ -37,10 +37,7 @@ def profile_extraction(
 
     @jax.jit
     def detect_fn(pyr):
-        return [
-            detect.detect_octave(oc, cfg, cfg.octave_cap(o))
-            for o, oc in enumerate(pyr)
-        ]
+        return detect.detect_pyramid(pyr, cfg)
 
     @jax.jit
     def grad_fn(pyr):
