@@ -50,6 +50,17 @@ _NEG = -1e30
 BLK = 8  # keypoints per grid step
 
 
+def _vec3(vals, dtype):
+    """[BLK, 1, 1] vector from BLK in-kernel scalars.  Mosaic rejects the
+    1-D stack + reshape formulation (vector<8> -> vector<8x1x1> shape cast),
+    so build it as BLK iota-selected splats instead."""
+    ids = jax.lax.broadcasted_iota(jnp.int32, (BLK, 1, 1), 0)
+    out = jnp.zeros((BLK, 1, 1), dtype)
+    for k, s in enumerate(vals):
+        out = jnp.where(ids == k, s, out)
+    return out
+
+
 def window_geometry(cfg):
     """Static window geometry derived from the config's sigma bound.
 
@@ -100,15 +111,21 @@ def _smooth_matrix(nb: int, rounds: int = 6) -> np.ndarray:
 def _kernel(
     cur_ref, nxt_ref, flt_ref, y0g_ref, sm_ref, gx_hbm, gy_hbm,
     misc_ref, sgx_ref, sgy_ref,
-    wxy, a_scr, b_scr, sems,
-    *, win_y, win_x, win_o, ori_span, nb, nori, G, peak_ratio,
-    sig_f, rad_f, spacing, spc_cell,
+    wxy, a_scr, b_scr, sems, *scr,
+    win_y, win_x, win_o, ori_span, nb, nori, G, peak_ratio,
+    sig_f, rad_f, spacing, spc_cell, narrow,
 ):
-    """cur/nxt_ref: [1, 7, BLK] int32 SMEM (plane, wy0, wx0, ro, sy, sx, valid);
-    flt_ref: [1, 3, BLK] f32 SMEM (ky, kx, sigma); y0g_ref: [1, 3] int32 SMEM
-    (global row offset, true image width, global image height); sm_ref:
-    [nb, 3nb] smoothing constant; wxy: [2, BLK, WIN_Y, 2*WIN_X]
-    double-buffered window scratch (gx cols [:WIN_X])."""
+    """cur/nxt_ref: [1, 8, BLK] int32 SMEM (plane, wy0, wx0, ro, sy, sx,
+    valid, co); flt_ref: [1, 3, BLK] f32 SMEM (ky, kx, sigma); y0g_ref:
+    [1, 3] int32 SMEM (global row offset, true image width, global image
+    height); sm_ref: [nb, 3nb] smoothing constant; wxy: [2, BLK, WIN_Y,
+    2*WIN_X] double-buffered window scratch (gx cols [:WIN_X]).
+
+    `narrow` (static): every contributing pixel lies within 62 px of the
+    keypoint column, so compute runs on a per-keypoint 128-lane window —
+    `co` = dynamic lane offset, realized as one `pltpu.roll` per plane into
+    the compact `nwin` scratch.  Halves the histogram VPU work, the tent
+    MXU matmul, and the column reduction vs the aligned 256-lane window."""
     G2 = G * G
     i = pl.program_id(0)
     nbk = pl.num_programs(0)
@@ -156,16 +173,29 @@ def _kernel(
     for k in range(1, BLK):
         anyv = jnp.maximum(anyv, cur_ref[0, 6, k])
 
+    nx = 128 if narrow else win_x      # compute-window lane width
+    nwin = owin = None
+    if narrow:
+        nwin = scr[0]                  # [BLK, win_y, 256] compact windows
+        owin = scr[1]                  # [BLK, ORI_SPAN, 256] orientation rows
+
     # ---------------- orientation histograms (per keypoint) ----------------
-    rows_o = jax.lax.broadcasted_iota(jnp.int32, (ori_span, win_x), 0)
-    cols_o = jax.lax.broadcasted_iota(jnp.int32, (ori_span, win_x), 1)
+    rows_o = jax.lax.broadcasted_iota(jnp.int32, (ori_span, nx), 0)
+    cols_o = jax.lax.broadcasted_iota(jnp.int32, (ori_span, nx), 1)
     # tan of the within-quadrant sector boundaries (nb/4 sectors per quadrant)
     nq = nb // 4
     tans = [math.tan(_TWO_PI / nb * t) for t in range(1, nq)]
 
+    def build_narrow(k):
+        co = cur_ref[0, 7, k]
+        ro = pl.multiple_of(cur_ref[0, 3, k], 8)
+        nwin[k, :, :128] = pltpu.roll(wxy[slot, k, :, :win_x], -co, 1)[:, :128]
+        nwin[k, :, 128:] = pltpu.roll(wxy[slot, k, :, win_x:], -co, 1)[:, :128]
+        owin[k] = nwin[k, pl.ds(ro, ori_span), :]
+
     def one_hist(k):
         wy0 = cur_ref[0, 1, k]
-        wx0 = cur_ref[0, 2, k]
+        wx0 = cur_ref[0, 2, k] + (cur_ref[0, 7, k] if narrow else 0)
         ro = pl.multiple_of(cur_ref[0, 3, k], 8)
         sy = cur_ref[0, 4, k]
         sx = cur_ref[0, 5, k]
@@ -174,8 +204,12 @@ def _kernel(
         sw = sig_f * flt_ref[0, 2, k]
         rad2 = (rad_f * sw) * (rad_f * sw)
 
-        gxw = wxy[slot, k, pl.ds(ro, ori_span), :win_x]
-        gyw = wxy[slot, k, pl.ds(ro, ori_span), win_x:]
+        if narrow:
+            gxw = nwin[k, pl.ds(ro, ori_span), :128]
+            gyw = nwin[k, pl.ds(ro, ori_span), 128:]
+        else:
+            gxw = wxy[slot, k, pl.ds(ro, ori_span), :win_x]
+            gyw = wxy[slot, k, pl.ds(ro, ori_span), win_x:]
         row_abs = rows_o + (wy0 + ro)
         col_abs = cols_o + wx0
         oy = row_abs.astype(jnp.float32) - ky
@@ -219,6 +253,64 @@ def _kernel(
         part = jnp.concatenate(parts, axis=0)            # [nb, win_x]
         return jnp.sum(part, axis=1, keepdims=True).T    # [1, nb]
 
+    def iv(idx):
+        return _vec3([cur_ref[0, idx, k] for k in range(BLK)], jnp.int32)
+
+    def fv(idx):
+        return _vec3([flt_ref[0, idx, k] for k in range(BLK)], jnp.float32)
+
+    def batched_hist():
+        """All-BLK histogram over the compact orientation rows (`owin`):
+        identical per-keypoint math and reduction shapes to `one_hist`, but
+        every VPU op covers the whole block — the 8 separate [ori_span, 128]
+        op chains were op-overhead-bound."""
+        wy0 = iv(1) + iv(3)            # window origin + orientation row snap
+        wx0 = iv(2) + iv(7)
+        sy = iv(4)
+        sx = iv(5)
+        ky = fv(0)
+        kx = fv(1)
+        sw = sig_f * fv(2)
+        rad2 = (rad_f * sw) * (rad_f * sw)
+        gxw = owin[:, :, :128]
+        gyw = owin[:, :, 128:]
+        sh3 = (BLK, ori_span, 128)
+        row_abs = jax.lax.broadcasted_iota(jnp.int32, sh3, 1) + wy0
+        col_abs = jax.lax.broadcasted_iota(jnp.int32, sh3, 2) + wx0
+        oy = row_abs.astype(jnp.float32) - ky
+        ox = col_abs.astype(jnp.float32) - kx
+        r2 = oy * oy + ox * ox
+        inwin = (
+            (row_abs >= sy) & (row_abs < sy + win_o)
+            & (col_abs >= sx) & (col_abs < sx + win_o)
+            & (row_abs + y0g >= 0) & (row_abs + y0g < global_h)
+            & (r2 <= rad2)
+        )
+        wgt = jnp.where(inwin, jnp.exp(r2 * (-0.5 / (sw * sw))), 0.0)
+        mag = jnp.sqrt(gxw * gxw + gyw * gyw)
+        wm = wgt * mag
+        ax = jnp.abs(gxw)
+        ay = jnp.abs(gyw)
+        s = jnp.zeros(ax.shape, jnp.int32)
+        for t in tans:
+            s = s + (ay >= ax * t).astype(jnp.int32)
+        qx = (gxw > 0.0) | ((gxw == 0.0) & (gyw < 0.0))
+        qy = (gyw > 0.0) | ((gyw == 0.0) & qx)
+        bins = jnp.where(
+            qy,
+            jnp.where(qx, s, (2 * nq - 1) - s),
+            jnp.where(qx, (4 * nq - 1) - s, 2 * nq + s),
+        )
+        parts = [
+            jnp.sum(jnp.where(bins == b, wm, 0.0), axis=1) for b in range(nb)
+        ]                                            # each [BLK, 128]
+        return jnp.sum(jnp.stack(parts, axis=1), axis=2)   # [BLK, nb]
+
+    def hist_fn():
+        if narrow:
+            return batched_hist()
+        return jnp.concatenate([one_hist(k) for k in range(BLK)], axis=0)
+
     # whole-block skip: blocks with no valid keypoint (common tail of the
     # fixed-capacity candidate buffers) write zeros and do no window math
     @pl.when(anyv == 0)
@@ -229,21 +321,25 @@ def _kernel(
 
     @pl.when(anyv > 0)
     def _compute():
+        if narrow:
+            for k in range(BLK):
+                build_narrow(k)
         _compute_block(
             cur_ref, flt_ref, y0g, w_true, global_h, sm_ref,
-            misc_ref, sgx_ref, sgy_ref, wxy, a_scr, b_scr, slot, one_hist,
-            win_y=win_y, win_x=win_x, nb=nb, nori=nori, G=G,
+            misc_ref, sgx_ref, sgy_ref,
+            (nwin if narrow else wxy), a_scr, b_scr, slot, hist_fn,
+            win_y=win_y, nx=nx, nb=nb, nori=nori, G=G, narrow=narrow,
             peak_ratio=peak_ratio, spacing=spacing, spc_cell=spc_cell,
         )
 
 
 def _compute_block(
     cur_ref, flt_ref, y0g, w_true, global_h, sm_ref,
-    misc_ref, sgx_ref, sgy_ref, wxy, a_scr, b_scr, slot, one_hist,
-    *, win_y, win_x, nb, nori, G, peak_ratio, spacing, spc_cell,
+    misc_ref, sgx_ref, sgy_ref, win_view, a_scr, b_scr, slot, hist_fn,
+    *, win_y, nx, nb, nori, G, narrow, peak_ratio, spacing, spc_cell,
 ):
     G2 = G * G
-    hist = jnp.concatenate([one_hist(k) for k in range(BLK)], axis=0)
+    hist = hist_fn()
 
     # ---------------- smoothing + peak selection (batched) -----------------
     hh = jnp.dot(hist, sm_ref[:, :], preferred_element_type=jnp.float32)
@@ -280,48 +376,60 @@ def _compute_block(
     misc_ref[:, nori:] = jnp.concatenate(haspks, axis=1)
 
     # ---------------- descriptor sampling (per orientation) ----------------
+    # all-BLK batched tent construction: per-keypoint scalars broadcast as
+    # [BLK, 1, 1] so each build is ONE VPU op over the whole block
     half = (G - 1) / 2.0
     n_i = jax.lax.broadcasted_iota(jnp.int32, (G2, 1), 0)
     gi = n_i // G                                        # sample grid row
     gj = n_i - gi * G                                    # sample grid col
     rows_d = jax.lax.broadcasted_iota(jnp.int32, (G2, win_y), 1).astype(jnp.float32)
-    cols_d = jax.lax.broadcasted_iota(jnp.int32, (G2, win_x), 1).astype(jnp.float32)
+    cols_d = jax.lax.broadcasted_iota(jnp.int32, (G2, nx), 1).astype(jnp.float32)
 
-    wb = wxy[slot].astype(jnp.bfloat16)                  # [BLK, WIN_Y, 2*WIN_X]
+    def iv(idx):
+        return _vec3([cur_ref[0, idx, k] for k in range(BLK)], jnp.int32)
+
+    def fv(idx):
+        return _vec3([flt_ref[0, idx, k] for k in range(BLK)], jnp.float32)
+
+    wy0f = iv(1).astype(jnp.float32)
+    cbf = (iv(2) + iv(7) if narrow else iv(2)).astype(jnp.float32)
+    kyv = fv(0)
+    kxv = fv(1)
+    spc = spacing * fv(2) / spc_cell                     # [BLK, 1, 1]
+    u = (gj.astype(jnp.float32) - half)[None] * spc      # [BLK, G2, 1]
+    v = (gi.astype(jnp.float32) - half)[None] * spc
+
+    # [BLK, WIN_Y, 2*nx]: compact per-keypoint windows (narrow) or the
+    # current DMA slot of the aligned windows
+    wb = (win_view[:] if narrow else win_view[slot]).astype(jnp.bfloat16)
     for o in range(nori):
-        for k in range(BLK):
-            wy0 = cur_ref[0, 1, k].astype(jnp.float32)
-            wx0 = cur_ref[0, 2, k].astype(jnp.float32)
-            ky = flt_ref[0, 0, k]
-            kx = flt_ref[0, 1, k]
-            spc = spacing * flt_ref[0, 2, k] / spc_cell
-            th = theta[k, o]
-            ct = jnp.cos(th)
-            st = jnp.sin(th)
-            u = (gj.astype(jnp.float32) - half) * spc    # [G2, 1] grid cols
-            v = (gi.astype(jnp.float32) - half) * spc    # [G2, 1] grid rows
-            px = kx + ct * u - st * v
-            py = ky + st * u + ct * v
-            inb = (
-                (px >= 0.0) & (px <= (w_true - 1).astype(jnp.float32))
-                & (py + y0g >= 0.0)
-                & (py + y0g <= (global_h - 1).astype(jnp.float32))
-            ).astype(jnp.float32)
-            a_scr[k] = jnp.maximum(
-                1.0 - jnp.abs((py - wy0) - rows_d), 0.0
-            ).astype(jnp.bfloat16)
-            b_scr[k] = jnp.maximum(1.0 - jnp.abs((px - wx0) - cols_d), 0.0) * inb
+        th = _vec3([theta[k, o] for k in range(BLK)], jnp.float32)
+        ct = jnp.cos(th)
+        st = jnp.sin(th)
+        px = kxv + ct * u - st * v                       # [BLK, G2, 1]
+        py = kyv + st * u + ct * v
+        inb = (
+            (px >= 0.0) & (px <= (w_true - 1).astype(jnp.float32))
+            & (py + y0g >= 0.0)
+            & (py + y0g <= (global_h - 1).astype(jnp.float32))
+        ).astype(jnp.float32)
+        a_scr[:, :, :] = jnp.maximum(
+            1.0 - jnp.abs((py - wy0f) - rows_d[None]), 0.0
+        ).astype(jnp.bfloat16)
+        b_scr[:, :, :] = jnp.maximum(
+            1.0 - jnp.abs((px - cbf) - cols_d[None]), 0.0
+        ) * inb
         t = jax.lax.dot_general(
             a_scr[:, :, :], wb,
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        )                                                # [BLK, G2, 2*WIN_X]
+        )                                                # [BLK, G2, 2*nx]
         Bm = b_scr[:, :, :]
         sgx_ref[:, o * G2 : (o + 1) * G2] = jnp.sum(
-            t[:, :, :win_x] * Bm, axis=2, dtype=jnp.float32
+            t[:, :, :nx] * Bm, axis=2, dtype=jnp.float32
         )
         sgy_ref[:, o * G2 : (o + 1) * G2] = jnp.sum(
-            t[:, :, win_x:] * Bm, axis=2, dtype=jnp.float32
+            t[:, :, nx:] * Bm, axis=2, dtype=jnp.float32
         )
 
 
@@ -368,13 +476,18 @@ def _orient_sample_impl(
     sy = jnp.clip(iy - R, 0, H2 - win_o)
     sx = jnp.clip(ix - R, 0, W2 - win_o)
     ro = jnp.clip(((sy - wy0) // 8) * 8, 0, win_y - ori_span)
+    # narrow compute window: dynamic lane offset centering the keypoint in a
+    # 128-lane window (valid whenever every contributing pixel is within
+    # 62 px of the keypoint column, i.e. margin <= 62)
+    narrow = margin <= 62 and win_x == 256
+    co = jnp.clip(ix - wx0 - 64, 0, 128)
 
     nbk = Np // BLK
     ints = jnp.stack(
-        [a.reshape(nbk, BLK) for a in (plane, wy0, wx0, ro, sy, sx, valid)],
+        [a.reshape(nbk, BLK) for a in (plane, wy0, wx0, ro, sy, sx, valid, co)],
         axis=1,
-    )                                                    # [nbk, 7, BLK]
-    nxt = jnp.concatenate([ints[1:], jnp.zeros((1, 7, BLK), ints.dtype)])
+    )                                                    # [nbk, 8, BLK]
+    nxt = jnp.concatenate([ints[1:], jnp.zeros((1, 8, BLK), ints.dtype)])
     flts = jnp.stack(
         [a.reshape(nbk, BLK).astype(jnp.float32) for a in (ky, kx, sigma)], axis=1
     )                                                    # [nbk, 3, BLK]
@@ -387,11 +500,11 @@ def _orient_sample_impl(
         _kernel,
         win_y=win_y, win_x=win_x, win_o=win_o, ori_span=ori_span, nb=nb,
         nori=nori, G=G, peak_ratio=peak_ratio, sig_f=sig_f, rad_f=rad_f,
-        spacing=spacing, spc_cell=spc_cell,
+        spacing=spacing, spc_cell=spc_cell, narrow=narrow,
     )
     in_specs = [
-        pl.BlockSpec((1, 7, BLK), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, 7, BLK), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 8, BLK), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 8, BLK), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
         pl.BlockSpec((1, 3, BLK), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
         pl.BlockSpec((1, 3), lambda i: (0, 0), memory_space=pltpu.SMEM),
         pl.BlockSpec((nb, 3 * nb), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -416,9 +529,17 @@ def _orient_sample_impl(
         scratch_shapes=[
             pltpu.VMEM((2, BLK, win_y, 2 * win_x), jnp.float32),
             pltpu.VMEM((BLK, G2, win_y), jnp.bfloat16),
-            pltpu.VMEM((BLK, G2, win_x), jnp.float32),
+            pltpu.VMEM((BLK, G2, 128 if narrow else win_x), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 2 * BLK)),
-        ],
+        ]
+        + (
+            [
+                pltpu.VMEM((BLK, win_y, 256), jnp.float32),
+                pltpu.VMEM((BLK, ori_span, 256), jnp.float32),
+            ]
+            if narrow
+            else []
+        ),
         interpret=interpret,
     )(ints, nxt, flts, y0g2, sm, gx, gy)
     theta = misc[:N, :nori]
