@@ -51,3 +51,16 @@ def test_matmul_blur_matches_conv():
         a = pyramid.blur_separable(img, taps, force="conv")
         b = pyramid.blur_separable(img, taps, force="matmul")
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6)
+
+
+def test_decimation_matmul_matches_window_and_slice():
+    """One-hot selection matmul decimation must be bit-identical to the
+    strided window path and to x[::2, ::2], including odd sizes."""
+    rng = np.random.default_rng(3)
+    for H, W in [(64, 96), (57, 131), (600, 777)]:
+        x = jnp.asarray(rng.normal(size=(2, H, W)).astype(np.float32))
+        a = pyramid.downsample2x(x, force="window")
+        b = pyramid.downsample2x(x, force="matmul")
+        c = np.asarray(x)[:, ::2, ::2]
+        assert np.array_equal(np.asarray(a), c)
+        assert np.array_equal(np.asarray(b), c)
