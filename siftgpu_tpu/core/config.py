@@ -211,6 +211,10 @@ class MatchConfig:
     dist_max: float = 0.7          # max angular distance (radians)
     ratio_max: float = 0.8         # best/second-best angle ratio
     mutual_best: bool = True
+    # > 0: stream d1 in column blocks of this size (never materializing the
+    # [N0, N1] similarity matrix) when N1 exceeds it — for descriptor sets
+    # far beyond SetMaxSift's ~8k.  0 = always dense.
+    block_size: int = 0
 
     def replace(self, **kw) -> "MatchConfig":
         return dataclasses.replace(self, **kw)

@@ -12,8 +12,10 @@ here selection stays in-graph on fixed-capacity buffers:
 `matches [max_match, 2]` padded with -1 plus an in-graph count.
 
 For capacities up to SetMaxSift's ~8k the full similarity matrix is small
-(64 MB f32 at 4k x 4k) and XLA pipelines it; a blockwise streaming kernel
-(FlashAttention-style running best-2) is the planned path for larger sets.
+(64 MB f32 at 4k x 4k) and XLA pipelines it; `MatchConfig.block_size > 0`
+switches to the blockwise streaming path (`_match_streaming`):
+FlashAttention-style running best-2 under `lax.scan`, identical selection
+semantics, O(N0 * block) memory — for sets far beyond 8k.
 """
 
 from __future__ import annotations
@@ -60,23 +62,21 @@ def _best2_sim(sim: jax.Array):
     return best, second, best_j
 
 
-def _select(sim, mask0, mask1, cfg: MatchConfig) -> MatchResult:
-    """Fixed-capacity selection from a full SIMILARITY matrix.
+def _finalize(bsim, ssim, best_j, col_best_i, cfg: MatchConfig) -> MatchResult:
+    """Threshold + mutual-best + fixed-capacity compaction from per-row
+    best-2 similarities (shared by the dense and streaming paths).
 
     arccos is monotonically decreasing, so best-2/mutual selection runs on
     raw dot products (no [N, M] transcendental pass — it cost more than the
     matmul); angles are computed only for the per-row winners to apply the
     reference's angular distmax/ratiomax thresholds.
     """
-    n0 = sim.shape[0]
-    sim = jnp.where(mask0[:, None] & mask1[None, :], sim, -jnp.inf)
-    bsim, ssim, best_j = _best2_sim(sim)
+    n0 = bsim.shape[0]
     best = jnp.arccos(jnp.clip(bsim, -1.0, 1.0))
     second = jnp.arccos(jnp.clip(ssim, -1.0, 1.0))
     second = jnp.where(jnp.isfinite(ssim), second, jnp.inf)
     ok = (best < cfg.dist_max) & (best < cfg.ratio_max * second)
     if cfg.mutual_best:
-        col_best_i = jnp.argmax(sim, axis=0)
         ok &= col_best_i[best_j] == jnp.arange(n0)
     ok &= jnp.isfinite(bsim)
 
@@ -100,6 +100,60 @@ def _select(sim, mask0, mask1, cfg: MatchConfig) -> MatchResult:
     )
 
 
+def _select(sim, mask0, mask1, cfg: MatchConfig) -> MatchResult:
+    """Fixed-capacity selection from a full SIMILARITY matrix."""
+    sim = jnp.where(mask0[:, None] & mask1[None, :], sim, -jnp.inf)
+    bsim, ssim, best_j = _best2_sim(sim)
+    col_best_i = jnp.argmax(sim, axis=0) if cfg.mutual_best else None
+    return _finalize(bsim, ssim, best_j, col_best_i, cfg)
+
+
+def _match_streaming(d0, d1, mask0, mask1, cfg: MatchConfig) -> MatchResult:
+    """Blockwise streaming best-2 matcher (the FlashAttention-style path,
+    SURVEY.md §2.4 item 7): d1 is processed in `cfg.block_size`-column
+    blocks under `lax.scan`, carrying per-row running (best, second, argbest)
+    — the [N0, N1] similarity matrix is never materialized, so descriptor
+    sets far beyond SetMaxSift's ~8k (64 MB at 4k x 4k f32) fit on chip.
+    Column-side best rows (mutual check) complete within each block, which
+    holds all N0 rows.  Bit-identical selection semantics to the dense path
+    (first-index tie-breaks preserved by the strict `>` merge)."""
+    Bc = cfg.block_size
+    n0, n1 = d0.shape[0], d1.shape[0]
+    f0 = _normalize(d0)
+    f1 = _normalize(d1)
+    pad = (-n1) % Bc
+    if pad:
+        f1 = jnp.pad(f1, ((0, pad), (0, 0)))
+        mask1 = jnp.pad(mask1, (0, pad))
+    nb = f1.shape[0] // Bc
+    f1b = f1.reshape(nb, Bc, -1)
+    m1b = mask1.reshape(nb, Bc)
+
+    def step(carry, blk):
+        best, second, best_j = carry
+        fb, mb, off = blk
+        sim = jnp.dot(f0, fb.T, precision=_HI)
+        sim = jnp.where(mask0[:, None] & mb[None, :], sim, -jnp.inf)
+        b, s, j = _best2_sim(sim)
+        # disjoint-candidate top-2 merge; strict > keeps the earlier
+        # (lower-index) winner on ties, matching dense argmax
+        new_best = jnp.maximum(best, b)
+        new_second = jnp.maximum(jnp.maximum(second, s), jnp.minimum(best, b))
+        new_j = jnp.where(b > best, j + off, best_j)
+        col_i = jnp.argmax(sim, axis=0).astype(jnp.int32)
+        return (new_best, new_second, new_j), col_i
+
+    init = (
+        jnp.full((n0,), -jnp.inf, jnp.float32),
+        jnp.full((n0,), -jnp.inf, jnp.float32),
+        jnp.zeros((n0,), jnp.int32),
+    )
+    offs = jnp.arange(nb, dtype=jnp.int32) * Bc
+    (bsim, ssim, best_j), cols = jax.lax.scan(step, init, (f1b, m1b, offs))
+    col_best_i = cols.reshape(nb * Bc)[:n1] if cfg.mutual_best else None
+    return _finalize(bsim, ssim, best_j, col_best_i, cfg)
+
+
 def _similarities(d0, d1):
     return jnp.dot(_normalize(d0), _normalize(d1).T, precision=_HI)
 
@@ -114,6 +168,8 @@ def match_descriptors_impl(
         mask0 = jnp.ones(d0.shape[0], bool)
     if mask1 is None:
         mask1 = jnp.ones(d1.shape[0], bool)
+    if cfg.block_size > 0 and d1.shape[0] > cfg.block_size:
+        return _match_streaming(d0, d1, mask0, mask1, cfg)
     return _select(_similarities(d0, d1), mask0, mask1, cfg)
 
 

@@ -105,3 +105,35 @@ def test_guided_match_epipolar_gate():
     assert _pairs_set(res) == set(map(tuple, ref.tolist()))
     p = np.asarray(res.pairs[: int(res.count)])
     assert (p[:, 0] >= n // 3).all()
+
+
+def test_streaming_matcher_matches_dense():
+    """Blockwise streaming best-2 (MatchConfig.block_size) must reproduce
+    the dense matcher exactly: pairs, count, distances — with masks, odd
+    sizes not divisible by the block, and mutual-best on/off."""
+    rng = np.random.default_rng(11)
+    n0, n1 = 300, 517
+    d0 = jnp.asarray(rng.integers(0, 255, (n0, 128)), jnp.uint8)
+    d1 = jnp.asarray(rng.integers(0, 255, (n1, 128)), jnp.uint8)
+    # duplicate some descriptors to exercise tie-breaking across blocks
+    d1 = d1.at[400].set(d1[3])
+    d1 = d1.at[101].set(d1[3])
+    m0 = jnp.asarray(rng.random(n0) > 0.1)
+    m1 = jnp.asarray(rng.random(n1) > 0.1)
+    for mutual in (True, False):
+        base = MatchConfig(max_match=512, mutual_best=mutual,
+                           dist_max=1.4, ratio_max=0.97)
+        ref = jmatch.match_descriptors_impl(d0, d1, m0, m1, base)
+        for bs in (64, 128, 256):
+            got = jmatch.match_descriptors_impl(
+                d0, d1, m0, m1, base.replace(block_size=bs)
+            )
+            assert int(got.count) == int(ref.count)
+            c = int(ref.count)
+            np.testing.assert_array_equal(
+                np.asarray(got.pairs[:c]), np.asarray(ref.pairs[:c])
+            )
+            np.testing.assert_allclose(
+                np.asarray(got.dist[:c]), np.asarray(ref.dist[:c]),
+                rtol=0, atol=1e-6,
+            )
