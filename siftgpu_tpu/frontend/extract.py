@@ -132,13 +132,17 @@ def extract_features(images: jax.Array, cfg: SiftConfig) -> Features:
     """images: [B, H, W] grayscale float in [0, 1] -> Features with K =
     cfg.max_keypoints, ordered by response (desc), padded entries masked."""
     B = images.shape[0]
-    pyr = pyramid.build_pyramid(images, cfg)
-    kps = detect.detect_pyramid(pyr, cfg)  # merged cross-octave patch gather
+    with jax.named_scope("sift.pyramid"):
+        pyr = pyramid.build_pyramid(images, cfg)
+    with jax.named_scope("sift.detect"):
+        kps = detect.detect_pyramid(pyr, cfg)  # merged cross-octave gather
     parts = []
     for o, oc in enumerate(pyr):
-        cand = octave_candidates(oc, cfg, cfg.octave_cap(o), kp=kps[o])
+        with jax.named_scope(f"sift.describe.oct{o}"):
+            cand = octave_candidates(oc, cfg, cfg.octave_cap(o), kp=kps[o])
         parts.append(to_image_coords(cand, cfg, o, B))
-    return assemble_features(parts, cfg)
+    with jax.named_scope("sift.assemble"):
+        return assemble_features(parts, cfg)
 
 
 @partial(jax.jit, static_argnums=1)

@@ -111,15 +111,34 @@ def cmd_speed(argv):
     p = argparse.ArgumentParser(prog="speed")
     p.add_argument("image")
     p.add_argument("--iters", type=int, default=10)
+    p.add_argument(
+        "--trace", default=None, metavar="DIR",
+        help="capture a jax.profiler trace (XProf/Perfetto) of the steady "
+             "state into DIR (SURVEY §5.1); stages carry jax.named_scope "
+             "annotations sift.{pyramid,detect,describe.octN,assemble}",
+    )
     a = p.parse_args(rest)
     s = SiftTPU(argv=flags_argv)
     s.run_sift(a.image)  # warm-up / compile
     s.get_feature_num()  # device sync (dispatch is async)
+    ctx = None
+    if a.trace:
+        import jax
+
+        try:
+            ctx = jax.profiler.trace(a.trace)
+            ctx.__enter__()
+        except Exception as e:  # remote-TPU platforms may not support it
+            print(f"profiler trace unavailable: {e}")
+            ctx = None
     t0 = time.perf_counter()
     for _ in range(a.iters):
         s.run_sift(a.image)
         s.get_feature_num()  # per-iter sync: transfer-based (see profile.py)
     dt = (time.perf_counter() - t0) / a.iters
+    if ctx is not None:
+        ctx.__exit__(None, None, None)
+        print(f"trace written to {a.trace}")
     print(
         f"{s.get_feature_num()} features, {dt * 1e3:.2f} ms/frame, "
         f"{1.0 / dt:.1f} Hz (steady-state, {a.iters} iters)"
