@@ -214,16 +214,20 @@ def detect_winners(
         and bscore.shape[1] >= cfg.topk_approx_min
         and jax.default_backend() != "cpu"
     )
+    k = min(cap, bscore.shape[1])  # tiny octaves: fewer pooled entries than cap
     if use_approx:
         # TPU PartialReduce-based top-k: ~2 ms vs ~27 ms exact on 12M-entry
         # 4K candidate arrays; may miss ~(1-recall) of borderline candidates
         # when the cap binds (see SiftConfig.detect_topk)
         top, bidx = jax.lax.approx_max_k(
-            bscore, cap, recall_target=cfg.topk_recall
+            bscore, k, recall_target=cfg.topk_recall
         )
         bidx = bidx.astype(jnp.int32)
     else:
-        top, bidx = jax.lax.top_k(bscore, cap)       # [B, cap]
+        top, bidx = jax.lax.top_k(bscore, k)         # [B, k]
+    if k < cap:  # pad to the fixed capacity; zero scores are masked by `cand`
+        top = jnp.pad(top, ((0, 0), (0, cap - k)))
+        bidx = jnp.pad(bidx, ((0, 0), (0, cap - k)))
     cand = top > 0.0
     bidx1 = bidx % nb1                               # drop the type axis
     l = bidx1 // ((Hs // 2) * (Ws // 2)) + 1         # DoG slice index in [1, S]

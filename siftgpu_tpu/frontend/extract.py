@@ -86,6 +86,72 @@ def octave_candidates(
     return dict(y=y2, x=x2, sigma=s2, theta=th2, response=r2, mask=m2, desc=d2)
 
 
+def prefilter_candidates(kps, cfg: SiftConfig):
+    """Mask out candidates that provably cannot reach the final top-K.
+
+    `assemble_features` keeps the cfg.max_keypoints highest-response
+    orientation SLOTS.  Every valid candidate contributes at least one valid
+    slot at exactly its own response (the slot-0 theta=0 fallback in
+    `fused.orient_describe_fused` / `orient.compute_orientations`), so a
+    candidate whose response is strictly below the K-th largest valid
+    candidate response is outranked by >= K slots and can never be selected
+    — masking it changes nothing downstream (ties kept via >=).
+
+    The payoff is performance: per-octave caps sum to ~2*max_keypoints
+    (SiftConfig.octave_cap), and the fused keypoint engine skips whole
+    blocks of masked candidates, so its per-keypoint window DMA + VPU work
+    drops ~2x when the caps saturate.  Candidates arrive response-sorted per
+    octave (detect top_k order), so survivors stay front-compacted and the
+    masked tail skips in whole blocks.
+    """
+    K = cfg.max_keypoints
+    resp = jnp.concatenate(
+        [jnp.where(k.mask, k.response, -jnp.inf) for k in kps], axis=1
+    )
+    if resp.shape[1] <= K:
+        return kps
+    thr = jax.lax.top_k(resp, K)[0][:, -1:]          # [B, 1] K-th response
+    thr = jnp.where(jnp.isfinite(thr), thr, -jnp.inf)  # < K valid: keep all
+    masks = [k.mask & (k.response >= thr) for k in kps]
+
+    # Front-compact survivors per octave: candidates arrive sorted by
+    # UNREFINED score but the threshold applies to the REFINED response, so
+    # survivors have stragglers scattered through the tail — and the engine
+    # pays full block cost for any block with >= 1 valid slot.  A stable
+    # argsort on the mask restores one contiguous valid prefix while
+    # preserving the survivors' relative order (assemble's top_k tie-breaks
+    # by slot index, so the final output stays bit-identical).  All octaves
+    # and all 7 candidate fields ride ONE take_along_axis (gather cost on
+    # this platform is per-call).
+    def stackf(k, m):
+        return jnp.stack(
+            [k.y, k.x, k.level, k.grad_level.astype(jnp.float32),
+             k.sigma, k.response, m.astype(jnp.float32)], axis=1
+        )                                            # [B, 7, cap]
+
+    allf = jnp.concatenate([stackf(k, m) for k, m in zip(kps, masks)], axis=2)
+    caps = [k.mask.shape[1] for k in kps]
+    idx_parts, off = [], 0
+    for m, cap in zip(masks, caps):
+        order = jnp.argsort((~m).astype(jnp.int32), axis=1, stable=True)
+        idx_parts.append(order + off)
+        off += cap
+    idx = jnp.concatenate(idx_parts, axis=1)         # [B, total]
+    g = jnp.take_along_axis(allf, idx[:, None, :], axis=2)
+    outs, off = [], 0
+    for k, cap in zip(kps, caps):
+        s = g[:, :, off : off + cap]
+        off += cap
+        outs.append(
+            k._replace(
+                y=s[:, 0], x=s[:, 1], level=s[:, 2],
+                grad_level=s[:, 3].astype(jnp.int32), sigma=s[:, 4],
+                response=s[:, 5], mask=s[:, 6] > 0.5,
+            )
+        )
+    return outs
+
+
 def assemble_features(parts, cfg: SiftConfig) -> Features:
     """parts: per-octave dicts with IMAGE-coordinate fields + 'octave'.
     Concatenates and applies the global fixed-capacity top-k selection."""
@@ -136,6 +202,7 @@ def extract_features(images: jax.Array, cfg: SiftConfig) -> Features:
         pyr = pyramid.build_pyramid(images, cfg)
     with jax.named_scope("sift.detect"):
         kps = detect.detect_pyramid(pyr, cfg)  # merged cross-octave gather
+        kps = prefilter_candidates(kps, cfg)   # exact top-K pre-selection
     parts = []
     for o, oc in enumerate(pyr):
         with jax.named_scope(f"sift.describe.oct{o}"):

@@ -218,12 +218,35 @@ def cmd_dump(argv):
     return 0
 
 
+def cmd_serve(argv):
+    """ServerSiftGPU analog: serve one SiftTPU+SiftMatchTPU over TCP.
+    Flags after `--` are forwarded to the server's parse_param."""
+    fwd = []
+    if "--" in argv:
+        i = argv.index("--")
+        argv, fwd = argv[:i], argv[i + 1 :]
+    p = argparse.ArgumentParser(prog="serve")
+    p.add_argument("--port", type=int, default=7777)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--max-sift", type=int, default=4096)
+    p.add_argument("--one-shot", action="store_true")
+    a = p.parse_args(argv)
+    from . import server
+
+    server.serve(
+        a.port, host=a.host, argv=fwd or None, max_sift=a.max_sift,
+        one_shot=a.one_shot,
+    )
+    return 0
+
+
 _COMMANDS = {
     "extract": cmd_extract,
     "match": cmd_match,
     "speed": cmd_speed,
     "twoview": cmd_twoview,
     "dump": cmd_dump,
+    "serve": cmd_serve,
 }
 
 

@@ -72,3 +72,33 @@ def test_batch_matches_single(parity_case):
     x = np.asarray(feats.x[1])[m]
     assert len(x) == len(j["x"])
     np.testing.assert_allclose(np.sort(x), np.sort(j["x"]), atol=1e-4)
+
+
+def test_prefilter_is_output_preserving():
+    """prefilter_candidates masks only candidates that can never reach the
+    final top-K — extraction output must be bit-identical with a cap small
+    enough that per-octave candidate caps saturate (the perf-relevant case)."""
+    from siftgpu_tpu.frontend import detect, extract, pyramid
+
+    cfg = SiftConfig(height=96, width=128, max_keypoints=32)
+    img = jnp.asarray(fixtures.random_texture(96, 128, seed=11)[None])
+    pyr = pyramid.build_pyramid(img, cfg)
+    kps = detect.detect_pyramid(pyr, cfg)
+    total_valid = sum(int(np.asarray(k.mask).sum()) for k in kps)
+    assert total_valid > cfg.max_keypoints  # the filter actually engages
+
+    kpf = extract.prefilter_candidates(kps, cfg)
+    kept = sum(int(np.asarray(k.mask).sum()) for k in kpf)
+    assert cfg.max_keypoints <= kept < total_valid
+
+    def run(kp_list):
+        parts = []
+        for o, oc in enumerate(pyr):
+            cand = extract.octave_candidates(oc, cfg, cfg.octave_cap(o), kp=kp_list[o])
+            parts.append(extract.to_image_coords(cand, cfg, o, 1))
+        return extract.assemble_features(parts, cfg)
+
+    a = run(kps)
+    b = run(kpf)
+    for fa, fb in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb))
