@@ -67,7 +67,7 @@ class SiftConfig:
     dog_threshold: float = 0.02 / 3.0
     edge_threshold: float = 10.0
     subpixel: bool = True
-    keep_sign: bool = False        # reserved: -sign flag parity
+    keep_sign: bool = False        # -sign: signed response; minima get -sigma
     border: int = 5                # reject keypoints within `border` px of edge
 
     # --- keypoint capacities (static buffer sizes; SURVEY §7.1 fixed shapes) ---

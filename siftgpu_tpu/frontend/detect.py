@@ -315,9 +315,13 @@ def refine_patches(
     sigma = cfg.sigma0 * jnp.exp2(fl / S)
     grad_level = jnp.clip(jnp.round(fl).astype(jnp.int32), 1, S)
 
+    # `-sign` flag parity (GlobalUtil::_KeepExtremumSign ⚠): keep the SIGNED
+    # refined DoG value so the output stage can mark minima (dark blobs) with
+    # a negated sigma; ranking sites take |response| when keep_sign is on.
+    resp = val if cfg.keep_sign else jnp.abs(val)
     return OctaveKeypoints(
         y=fy, x=fx, level=fl, grad_level=grad_level, sigma=sigma,
-        response=jnp.abs(val), mask=mask,
+        response=resp, mask=mask,
     )
 
 

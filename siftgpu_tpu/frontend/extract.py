@@ -36,7 +36,7 @@ class Features(NamedTuple):
     y: jax.Array         # [B, K]
     sigma: jax.Array     # [B, K]
     theta: jax.Array     # [B, K] radians in [0, 2pi)
-    response: jax.Array  # [B, K] |DoG| at the keypoint
+    response: jax.Array  # [B, K] |DoG| at the keypoint (signed if keep_sign)
     octave: jax.Array    # [B, K] int32 (index into cfg octaves, 0-based)
     desc: jax.Array      # [B, K, 128] uint8
     mask: jax.Array      # [B, K] bool
@@ -105,14 +105,15 @@ def prefilter_candidates(kps, cfg: SiftConfig):
     masked tail skips in whole blocks.
     """
     K = cfg.max_keypoints
+    rank = (lambda r: jnp.abs(r)) if cfg.keep_sign else (lambda r: r)
     resp = jnp.concatenate(
-        [jnp.where(k.mask, k.response, -jnp.inf) for k in kps], axis=1
+        [jnp.where(k.mask, rank(k.response), -jnp.inf) for k in kps], axis=1
     )
     if resp.shape[1] <= K:
         return kps
     thr = jax.lax.top_k(resp, K)[0][:, -1:]          # [B, 1] K-th response
     thr = jnp.where(jnp.isfinite(thr), thr, -jnp.inf)  # < K valid: keep all
-    masks = [k.mask & (k.response >= thr) for k in kps]
+    masks = [k.mask & (rank(k.response) >= thr) for k in kps]
 
     # Front-compact survivors per octave: candidates arrive sorted by
     # UNREFINED score but the threshold applies to the REFINED response, so
@@ -170,7 +171,7 @@ def assemble_features(parts, cfg: SiftConfig) -> Features:
         oc_ = pf(oc_)
         m = jnp.pad(m, ((0, 0), (0, pad)), constant_values=False)
         d = jnp.pad(d, ((0, 0), (0, pad), (0, 0)))
-    score = jnp.where(m, r, -1.0)
+    score = jnp.where(m, jnp.abs(r) if cfg.keep_sign else r, -1.0)
     _, idx = jax.lax.top_k(score, K)
     take = lambda a: jnp.take_along_axis(a, idx, axis=1)
     mask = take(m)
@@ -190,6 +191,10 @@ def to_image_coords(cand: dict, cfg: SiftConfig, o: int, B: int) -> dict:
     out["x"] = (cand["x"] + shift) * scale
     out["y"] = (cand["y"] + shift) * scale
     out["sigma"] = cand["sigma"] * scale
+    if cfg.keep_sign:
+        # `-sign` parity ⚠: DoG minima (dark features) download a negated
+        # scale; orientation/descriptor stages used the positive sigma above
+        out["sigma"] = jnp.where(cand["response"] < 0, -out["sigma"], out["sigma"])
     out["octave"] = jnp.full(cand["mask"].shape, o, jnp.int32)
     return out
 

@@ -102,3 +102,33 @@ def test_prefilter_is_output_preserving():
     b = run(kpf)
     for fa, fb in zip(a, b):
         np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb))
+
+
+def test_keep_sign_flag():
+    """`-sign` parity (GlobalUtil::_KeepExtremumSign analog): with keep_sign
+    the response carries the signed DoG value and minima download a negated
+    sigma; everything else (selection, coords, descriptors) is unchanged."""
+    base = SiftConfig(height=96, width=128, max_keypoints=64)
+    img = jnp.asarray(fixtures.random_texture(96, 128, seed=5)[None])
+    a = extract_features_jit(img, base)
+    b = extract_features_jit(img, base.replace(keep_sign=True))
+
+    am, bm = np.asarray(a.mask), np.asarray(b.mask)
+    np.testing.assert_array_equal(am, bm)
+    for f in ("x", "y", "theta"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(a, f))[am], np.asarray(getattr(b, f))[bm]
+        )
+    np.testing.assert_array_equal(np.asarray(a.desc)[am], np.asarray(b.desc)[bm])
+    # |signed outputs| == unsigned outputs
+    np.testing.assert_allclose(
+        np.abs(np.asarray(b.sigma)[bm]), np.asarray(a.sigma)[am], rtol=0, atol=0
+    )
+    np.testing.assert_array_equal(
+        np.abs(np.asarray(b.response)[bm]), np.asarray(a.response)[am]
+    )
+    # sign consistency: sigma sign encodes the extremum polarity
+    resp = np.asarray(b.response)[bm]
+    sig = np.asarray(b.sigma)[bm]
+    assert (resp < 0).any() and (resp > 0).any()  # both polarities present
+    np.testing.assert_array_equal(np.sign(sig), np.sign(resp))
