@@ -18,8 +18,12 @@ Supported (flag -> field):
   -unn         unnormalized descriptors
   -sign        keep_sign
   -i <path>    input image (stored under "_input_image")
+  -il <path>   image-list file, one path per line (stored under "_image_list";
+               SiftTPU.run_sift() with no argument consumes the next entry ⚠)
   -o <path>    output file (stored under "_output_file")
   -b           binary output (stored under "_output_binary")
+  -p <WxH>     pre-allocate / pre-compile for a WxH image (stored under
+               "_prealloc" as (height, width); create_context warms the jit)
   -v <n>       verbosity (stored under "_verbose")
 Unknown flags are collected under "_unknown" (reference silently ignores ⚠).
 """
@@ -29,6 +33,12 @@ from __future__ import annotations
 from typing import Dict, List, Sequence
 
 __all__ = ["parse_flags"]
+
+def _parse_wh(v: str):
+    """'WxH' -> (height, width) (the reference's -p order is WxH ⚠)."""
+    w, h = v.lower().split("x")
+    return (int(h), int(w))
+
 
 _VALUED = {
     "-fo": ("first_octave", int),
@@ -42,7 +52,9 @@ _VALUED = {
     "-tc2": ("max_keypoints", int),
     "-tc3": ("max_keypoints", int),
     "-i": ("_input_image", str),
+    "-il": ("_image_list", str),
     "-o": ("_output_file", str),
+    "-p": ("_prealloc", _parse_wh),
     "-v": ("_verbose", int),
 }
 

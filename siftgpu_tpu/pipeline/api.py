@@ -53,14 +53,18 @@ class SiftTPU:
         self._feats = None
         self._image = None
         self._keypoint_list = None
+        self._list_iter = None
         if argv:
             self.parse_param(argv)
 
     # -- configuration ----------------------------------------------------
     def parse_param(self, argv: Sequence[str]) -> None:
         """Reference-flag-compatible parser (-fo, -d, -t, -e, -m, -s, ...)."""
-        self._overrides.update(parse_flags(argv))
+        new = parse_flags(argv)
+        self._overrides.update(new)
         self._cfg = None  # force re-derive on next run
+        if "_image_list" in new:
+            self._list_iter = None  # restart the -il list
 
     def config_for(self, height: int, width: int) -> SiftConfig:
         kw = {k: v for k, v in self._overrides.items() if not k.startswith("_")}
@@ -73,22 +77,53 @@ class SiftTPU:
 
     # -- context (jit) ----------------------------------------------------
     def create_context(self) -> int:
-        """The CreateContextGL analog: verify a device exists."""
+        """The CreateContextGL analog: verify a device exists; with `-p WxH`
+        also pre-compile the extraction program for that size (the
+        reference's pyramid pre-allocation ⚠)."""
         import jax
 
-        return SIFTGPU_FULL_SUPPORTED if jax.devices() else SIFTGPU_NOT_SUPPORTED
+        if not jax.devices():
+            return SIFTGPU_NOT_SUPPORTED
+        pre = self._overrides.get("_prealloc")
+        if pre:
+            import jax.numpy as jnp
+
+            from ..frontend.extract import extract_features_jit
+
+            h, w = pre
+            cfg = self.config_for(h, w)
+            extract_features_jit(jnp.zeros((1, cfg.height, cfg.width)), cfg)
+        return SIFTGPU_FULL_SUPPORTED
 
     verify_context = create_context
 
+    def _next_listed_image(self):
+        """`-il` parity ⚠: RunSIFT() with no argument consumes the next path
+        from the image-list file."""
+        if self._list_iter is None:
+            path = self._overrides.get("_image_list")
+            if not path:
+                raise ValueError("run_sift() without an image needs -il <list>")
+            with open(path) as f:
+                entries = [ln.strip() for ln in f if ln.strip()]
+            self._list_iter = iter(entries)
+        return next(self._list_iter, None)
+
     # -- extraction -------------------------------------------------------
-    def run_sift(self, image, *_ignored) -> bool:
+    def run_sift(self, image=None, *_ignored) -> bool:
         """image: path to an image file, or [H, W] (grayscale) / [H, W, 3]
-        (RGB, converted with the reference's luminance weights) array."""
+        (RGB, converted with the reference's luminance weights) array; None
+        consumes the next entry of the `-il` image list (returns False when
+        the list is exhausted, like the reference ⚠)."""
         import jax.numpy as jnp
 
         from ..core import image as imio
         from ..frontend.extract import extract_features_jit
 
+        if image is None:
+            image = self._next_listed_image()
+            if image is None:
+                return False
         if isinstance(image, (str, bytes)):
             arr = imio.load_image(image)
         else:

@@ -153,3 +153,26 @@ def test_combo_sift_tpu(tmp_path):
         k1[pairs[:, 1], 1] - (k0[pairs[:, 0], 1] + 2.0),
     )
     assert (err < 1.0).mean() > 0.9
+
+
+def test_image_list_and_prealloc_flags(tmp_path):
+    """-il image-list + bare run_sift() iteration and -p WxH pre-compile ⚠."""
+    parsed = flags.parse_flags(["-il", "imgs.txt", "-p", "96x80", "-v", "0"])
+    assert parsed["_image_list"] == "imgs.txt"
+    assert parsed["_prealloc"] == (80, 96)  # -p is WxH; stored (H, W)
+
+    paths = []
+    for i in range(2):
+        img = fixtures.random_texture(80, 96, seed=i)
+        p = tmp_path / f"im{i}.pgm"
+        imio.save_pgm(str(p), img)
+        paths.append(str(p))
+    lst = tmp_path / "list.txt"
+    lst.write_text("\n".join(paths) + "\n")
+
+    s = SiftTPU(["-il", str(lst), "-p", "96x80", "-tc", "128"])
+    assert s.create_context() == 2  # pre-compiles the 80x96 program
+    counts = []
+    while s.run_sift():  # consume the whole -il list
+        counts.append(s.get_feature_num())
+    assert len(counts) == 2 and all(c > 5 for c in counts)
