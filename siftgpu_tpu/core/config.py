@@ -36,7 +36,7 @@ class SiftConfig:
       dog_levels       ↔ -d     (DoG levels per octave, default 3)
       dog_threshold    ↔ -t     (contrast threshold, default 0.02/3)
       edge_threshold   ↔ -e     (Hessian edge curvature ratio, default 10)
-      first_octave     ↔ -fo    (-1 = 2x upsample the input)
+      first_octave     ↔ -fo    (-1 = 2x upsample; n>0 = skip n fine octaves)
       max_keypoints    ↔ -tc    (feature count cap; ours is a hard static cap)
       max_orientations ↔ -m     (<=2 orientations per keypoint)
       subpixel         ↔ -s     (3x3x3 quadratic subpixel refinement)
@@ -72,6 +72,13 @@ class SiftConfig:
 
     # --- keypoint capacities (static buffer sizes; SURVEY §7.1 fixed shapes) ---
     max_keypoints: int = 2048      # final per-image cap K
+    # `-tc/-tc1/-tc2/-tc3` truncation preference when the cap binds
+    # (GlobalUtil::_TruncateMethod analog ⚠ SURVEY §5.6; the mount is empty so
+    # the per-method semantics are this repo's documented choice):
+    #   0 (-tc/-tc3): keep the highest-response features (quality-preserving)
+    #   1 (-tc1):     prefer FINE octaves (small scale), response breaks ties
+    #   2 (-tc2):     prefer COARSE octaves (large scale), response breaks ties
+    truncate_method: int = 0
     per_octave_cap: int = 0        # 0 => auto: max(64, max_keypoints >> octave)
     # candidate compaction: "exact" = lax.top_k always; "approx" =
     # lax.approx_max_k always; "auto" = approx only on accelerators AND when
@@ -119,10 +126,20 @@ class SiftConfig:
 
     @property
     def base_shape(self) -> Tuple[int, int]:
-        """Shape of octave 0 (after optional 2x upsample)."""
+        """Shape of octave 0.
+
+        first_octave == -1: 2x bilinear upsample of the input.
+        first_octave ==  n > 0: the pyramid starts at the input decimated n
+        times (reference `GlobalUtil::_octave_min_default` semantics ⚠ SURVEY
+        §5.6 — skip the finest n octaves).  Each decimation keeps the top-left
+        pixel of every 2x2 block, so a dimension halves as ceil(n/2) — the
+        same convention as the intra-pyramid downsample."""
         if self.upsampled:
             return (self.height * 2, self.width * 2)
-        return (self.height, self.width)
+        h, w = self.height, self.width
+        for _ in range(self.first_octave):
+            h, w = max((h + 1) // 2, 1), max((w + 1) // 2, 1)
+        return (h, w)
 
     @property
     def octaves(self) -> int:

@@ -5,7 +5,7 @@ the reference these do NOT mutate global state — `parse_flags` returns a dict
 consumed by `SiftConfig`/`SiftTPU`.
 
 Supported (flag -> field):
-  -fo <n>      first_octave (-1 = 2x upsample)
+  -fo <n>      first_octave (-1 = 2x upsample; n>0 = start 2^n-downsampled)
   -d <n>       dog_levels
   -t <x>       dog_threshold
   -e <x>       edge_threshold
@@ -13,7 +13,9 @@ Supported (flag -> field):
   -s [<0|1>]   subpixel (bare -s => on)
   -f <x>       kernel_truncate (filter width factor, default 4)
   -maxd <n>    max_dim (pre-downsample cap; GlobalUtil::_texMaxDim analog)
-  -tc/-tc1/-tc2/-tc3 <n>  max_keypoints (hard static cap here)
+  -tc/-tc3 <n> max_keypoints, truncation by response (truncate_method 0)
+  -tc1 <n>     max_keypoints, prefer fine octaves   (truncate_method 1)
+  -tc2 <n>     max_keypoints, prefer coarse octaves (truncate_method 2)
   -loweo       lowe_origin (+0.5 pixel origin)
   -unn         unnormalized descriptors
   -sign        keep_sign
@@ -47,10 +49,6 @@ _VALUED = {
     "-e": ("edge_threshold", float),
     "-f": ("kernel_truncate", float),
     "-maxd": ("max_dim", int),
-    "-tc": ("max_keypoints", int),
-    "-tc1": ("max_keypoints", int),
-    "-tc2": ("max_keypoints", int),
-    "-tc3": ("max_keypoints", int),
     "-i": ("_input_image", str),
     "-il": ("_image_list", str),
     "-o": ("_output_file", str),
@@ -59,9 +57,16 @@ _VALUED = {
 }
 
 _OPTIONAL_VALUED = {
-    "-m": ("max_orientations", int, 2),
+    # reference caps orientations at 2 (GlobalUtil::_MaxOrientation ⚠)
+    "-m": ("max_orientations", lambda v: max(1, min(int(v), 2)), 2),
     "-s": ("subpixel", lambda v: bool(int(v)), True),
 }
+
+# -tc/-tc1/-tc2/-tc3: all set the feature cap; the suffix selects the
+# truncation preference (SiftConfig.truncate_method; GlobalUtil::_TruncateMethod
+# analog ⚠): -tc/-tc3 -> 0 (by response), -tc1 -> 1 (fine octaves first),
+# -tc2 -> 2 (coarse octaves first).
+_TC = {"-tc": 0, "-tc1": 1, "-tc2": 2, "-tc3": 0}
 
 _BOOL = {
     "-loweo": ("lowe_origin", True),
@@ -97,15 +102,31 @@ def parse_flags(argv: Sequence[str]) -> Dict:
             else:
                 i += 1
                 out[field] = conv(argv[i])
+        elif base in _TC:
+            if "=" in a:
+                out["max_keypoints"] = int(a.split("=", 1)[1])
+            else:
+                i += 1
+                out["max_keypoints"] = int(argv[i])
+            out["truncate_method"] = _TC[base]
         elif base in _OPTIONAL_VALUED:
             field, conv, default = _OPTIONAL_VALUED[base]
             if "=" in a:
                 out[field] = conv(a.split("=", 1)[1])
             else:
+                # the value is optional: consume the next token iff it parses
+                # (accepts negatives; a malformed/flag-like token is left for
+                # the main loop and the default applies — reference sscanf ⚠)
                 nxt = argv[i + 1] if i + 1 < len(argv) else None
-                if nxt is not None and not nxt.startswith("-") and nxt.isdigit():
+                val = None
+                if nxt is not None:
+                    try:
+                        val = conv(nxt)
+                    except (TypeError, ValueError):
+                        val = None
+                if val is not None:
                     i += 1
-                    out[field] = conv(nxt)
+                    out[field] = val
                 else:
                     out[field] = default
         elif base in _BOOL:

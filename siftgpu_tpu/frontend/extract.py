@@ -171,7 +171,12 @@ def assemble_features(parts, cfg: SiftConfig) -> Features:
         oc_ = pf(oc_)
         m = jnp.pad(m, ((0, 0), (0, pad)), constant_values=False)
         d = jnp.pad(d, ((0, 0), (0, pad), (0, 0)))
-    score = jnp.where(m, jnp.abs(r) if cfg.keep_sign else r, -1.0)
+    resp = jnp.abs(r) if cfg.keep_sign else r
+    if cfg.truncate_method == 1:    # -tc1: fine octaves first (small scale)
+        resp = resp - oc_.astype(resp.dtype) * 1e4
+    elif cfg.truncate_method == 2:  # -tc2: coarse octaves first (large scale)
+        resp = resp + oc_.astype(resp.dtype) * 1e4
+    score = jnp.where(m, resp, -jnp.inf)
     _, idx = jax.lax.top_k(score, K)
     take = lambda a: jnp.take_along_axis(a, idx, axis=1)
     mask = take(m)
@@ -207,7 +212,8 @@ def extract_features(images: jax.Array, cfg: SiftConfig) -> Features:
         pyr = pyramid.build_pyramid(images, cfg)
     with jax.named_scope("sift.detect"):
         kps = detect.detect_pyramid(pyr, cfg)  # merged cross-octave gather
-        kps = prefilter_candidates(kps, cfg)   # exact top-K pre-selection
+        if cfg.truncate_method == 0:  # prefilter assumes response-rank selection
+            kps = prefilter_candidates(kps, cfg)  # exact top-K pre-selection
     parts = []
     for o, oc in enumerate(pyr):
         with jax.named_scope(f"sift.describe.oct{o}"):

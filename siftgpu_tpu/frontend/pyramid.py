@@ -250,6 +250,12 @@ def build_pyramid(images: jax.Array, cfg: SiftConfig) -> Tuple[Octave, ...]:
     x = images.astype(jnp.dtype(cfg.pyramid_dtype))
     if cfg.upsampled:
         x = upsample2x(x)
+    else:
+        # -fo n > 0: skip the finest n octaves by pre-decimating the input
+        # (reference `_octave_min` semantics ⚠); octave_scale(o) = 2^(o+fo)
+        # then maps octave-local coords back to INPUT-image coordinates.
+        for _ in range(cfg.first_octave):
+            x = downsample2x(x)
     prec = cfg.pyramid_precision
     base = blur_separable(
         x, cfg.gaussian_taps(cfg.initial_blur_sigma()), precision=prec

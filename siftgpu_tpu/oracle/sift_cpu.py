@@ -91,6 +91,9 @@ def build_pyramid(img: np.ndarray, cfg: SiftConfig) -> List[Dict[str, np.ndarray
     img = img.astype(np.float32)
     if cfg.upsampled:
         img = upsample2x(img)
+    else:
+        for _ in range(cfg.first_octave):  # -fo n > 0: top-left decimation
+            img = img[::2, ::2]
     base = convolve_sep(img, cfg.gaussian_taps(cfg.initial_blur_sigma()))
     inc = cfg.incremental_sigmas()
     octaves = []

@@ -134,6 +134,8 @@ def extract_features_spatial(
     """images: [B, H, W]; H must be divisible by n * 2^(spatial octaves).
     Returns replicated Features identical to `extract_features(images, cfg)`."""
     assert cfg.first_octave >= 0, "spatial mode does not support -fo -1 yet"
+    for _ in range(cfg.first_octave):  # -fo n > 0: pre-decimate before sharding
+        images = pyramid.downsample2x(images)
     n = mesh.shape[axis]
     B, H, W = images.shape
     assert H % n == 0, f"rows {H} not divisible by {n} shards"

@@ -54,6 +54,7 @@ class SiftTPU:
         self._image = None
         self._keypoint_list = None
         self._list_iter = None
+        self._run_index = 0
         if argv:
             self.parse_param(argv)
 
@@ -149,6 +150,13 @@ class SiftTPU:
                 jnp.asarray(arr[None]), cfg, iters=1, match_pairs=False
             )
             print(_profile.format_stage_table(times, batch=1))
+        out_path = self._overrides.get("_output_file")
+        if out_path:
+            # `-o` parity ⚠: the reference saves after every RunSIFT; for -il
+            # runs past the first, suffix the path so files are not clobbered
+            self.save_sift(out_path if self._run_index == 0
+                           else f"{out_path}.{self._run_index}")
+        self._run_index += 1
         return True
 
     def get_feature_num(self) -> int:

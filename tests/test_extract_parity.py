@@ -74,6 +74,7 @@ def test_batch_matches_single(parity_case):
     np.testing.assert_allclose(np.sort(x), np.sort(j["x"]), atol=1e-4)
 
 
+@pytest.mark.slow
 def test_prefilter_is_output_preserving():
     """prefilter_candidates masks only candidates that can never reach the
     final top-K — extraction output must be bit-identical with a cap small
@@ -102,6 +103,36 @@ def test_prefilter_is_output_preserving():
     b = run(kpf)
     for fa, fb in zip(a, b):
         np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb))
+
+
+def test_first_octave_positive():
+    """`-fo 1` semantics (reference `_octave_min` ⚠ SURVEY §5.6): the pyramid
+    starts at a 2x-decimated input, so keypoints stay inside the image and the
+    run equals an fo=0 run on the manually decimated image with coords/sigma
+    doubled.  Regression test for the round-1 bug where -fo 1 produced
+    keypoints at x >= width."""
+    img = fixtures.random_texture(160, 128, seed=7, smooth=4)
+    cfg1 = SiftConfig(height=160, width=128, max_keypoints=64, first_octave=1)
+    f1 = features_to_numpy(extract_features_jit(jnp.asarray(img[None]), cfg1))
+    assert len(f1["x"]) > 5
+    assert (f1["x"] >= 0).all() and (f1["x"] < 128).all()
+    assert (f1["y"] >= 0).all() and (f1["y"] < 160).all()
+
+    ds = img[::2, ::2]
+    cfg0 = SiftConfig(height=80, width=64, max_keypoints=64)
+    f0 = features_to_numpy(extract_features_jit(jnp.asarray(ds[None]), cfg0))
+    assert len(f0["x"]) == len(f1["x"])
+    np.testing.assert_allclose(f1["x"], 2 * f0["x"], atol=1e-4)
+    np.testing.assert_allclose(f1["y"], 2 * f0["y"], atol=1e-4)
+    np.testing.assert_allclose(f1["sigma"], 2 * f0["sigma"], atol=1e-4)
+    np.testing.assert_array_equal(f1["desc"], f0["desc"])
+
+    # the oracle follows the identical convention
+    o1 = sift_cpu.extract(img, cfg1)
+    o0 = sift_cpu.extract(ds, cfg0)
+    assert len(o1["x"]) == len(o0["x"]) > 5
+    np.testing.assert_allclose(o1["x"], 2 * o0["x"], atol=1e-6)
+    np.testing.assert_allclose(o1["sigma"], 2 * o0["sigma"], atol=1e-6)
 
 
 def test_keep_sign_flag():
