@@ -1,3 +1,3 @@
-from . import dist_ba, dist_pose_graph, dp, dryrun, spatial
+from . import dist_ba, dist_pose_graph, dp, dryrun, sequence, spatial
 
-__all__ = ["dist_ba", "dist_pose_graph", "dp", "dryrun", "spatial"]
+__all__ = ["dist_ba", "dist_pose_graph", "dp", "dryrun", "sequence", "spatial"]

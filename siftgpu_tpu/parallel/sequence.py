@@ -1,0 +1,189 @@
+"""BASELINE config-5 sequence pipeline: keyframe-partitioned multi-host SLAM.
+
+The north star's "keyframes and map blocks partitioned across a pod slice"
+(BASELINE.json:5, SURVEY §2.3 multi-host row ⚠): a T-frame sequence is
+processed as
+
+  1. extraction of ALL frames data-parallel over the mesh's `data` axis
+     (`dp.extract_features_dp`, chunked so HBM stays bounded) — the keyframe
+     partitioning leg; features gather back to one global store;
+  2. the sequential tracking/mapping loop (`pipeline.slam.run_slam`) consumes
+     the pre-extracted features (match + PnP dispatches only) and maintains
+     ONE global map;
+  3. every windowed BA call runs the DISTRIBUTED Schur-complement solve
+     (`dist_ba`: map blocks partitioned over the flattened mesh, one psum of
+     the reduced camera system per CG iteration);
+  4. a final pose-graph refinement over all keyframes runs with edges sharded
+     across the mesh (`dist_pose_graph`).
+
+The whole pipeline is exercised on the virtual 8-device CPU mesh by
+tests/test_sequence.py (trajectory parity vs single-device `run_slam`) and by
+`parallel.dryrun` / `__graft_entry__.dryrun_multichip`.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh
+
+from ..core.config import MatchConfig, SiftConfig
+from ..optim import ba
+from . import dist_ba, dist_pose_graph, dp
+
+__all__ = [
+    "SequenceFeatures", "extract_sequence_dp", "make_distributed_ba",
+    "run_slam_distributed",
+]
+
+
+class _FrameShim(NamedTuple):
+    """Minimal Features stand-in for one frame (desc/mask on device)."""
+    desc: jax.Array  # [1, K, 128]
+    mask: jax.Array  # [1, K]
+
+
+class SequenceFeatures(NamedTuple):
+    """Whole-sequence feature store: descriptors device-resident (matching
+    consumes them), coordinates host-resident (bookkeeping consumes them)."""
+
+    desc: jax.Array   # [T, K, 128] uint8, device
+    mask_dev: jax.Array  # [T, K] bool, device
+    x: np.ndarray     # [T, K] float32, host
+    y: np.ndarray     # [T, K]
+    mask: np.ndarray  # [T, K] bool, host
+
+    def frame_feats(self, t: int) -> _FrameShim:
+        return _FrameShim(desc=self.desc[t : t + 1], mask=self.mask_dev[t : t + 1])
+
+
+def extract_sequence_dp(
+    frames, cfg: SiftConfig, mesh: Mesh, axis: str = "data",
+    chunk: Optional[int] = None,
+) -> SequenceFeatures:
+    """Extract a [T, H, W] sequence data-parallel over `axis`.
+
+    `chunk` (a multiple of the axis size; default 4 frames/device) bounds the
+    pyramid working set per dispatch.  The tail chunk is padded with copies of
+    the last frame and the padding dropped after extraction (fixed shapes)."""
+    n = mesh.shape[axis]
+    T = len(frames)
+    chunk = chunk or 4 * n
+    chunk = max(n, (chunk // n) * n)
+    frames = np.asarray(frames)
+
+    descs, masks_d, xs, ys, ms = [], [], [], [], []
+    for lo in range(0, T, chunk):
+        blk = frames[lo : lo + chunk]
+        pad = (-len(blk)) % n
+        if pad:
+            blk = np.concatenate([blk, np.repeat(blk[-1:], pad, axis=0)])
+        feats = dp.extract_features_dp(jnp.asarray(blk), cfg, mesh, axis=axis)
+        keep = len(blk) - pad
+        descs.append(feats.desc[:keep])
+        masks_d.append(feats.mask[:keep])
+        x_h, y_h, m_h = jax.device_get(
+            (feats.x[:keep], feats.y[:keep], feats.mask[:keep])
+        )
+        xs.append(x_h)
+        ys.append(y_h)
+        ms.append(m_h)
+    return SequenceFeatures(
+        desc=jnp.concatenate(descs),
+        mask_dev=jnp.concatenate(masks_d),
+        x=np.concatenate(xs), y=np.concatenate(ys), mask=np.concatenate(ms),
+    )
+
+
+def make_distributed_ba(mesh: Mesh):
+    """BA runner for `run_slam(ba_fn=...)`: partitions the window's map
+    points/observations over ALL mesh devices and runs the psum'd Schur solve
+    (`dist_ba.run_ba_distributed`).  Returns full (unpartitioned) BAState."""
+    devs = mesh.devices.reshape(-1)
+    flat = Mesh(devs, axis_names=("ba",))
+    n = len(devs)
+
+    def run(prob: ba.BAProblem, iters: int, n_cg: int) -> ba.BAState:
+        sprob = dist_ba.partition_problem(prob, n)
+        state, _ = dist_ba.run_ba_distributed(
+            sprob, flat, axis="ba", iters=iters, n_cg=n_cg
+        )
+        # un-partition points: contiguous blocks by the same linspace bounds
+        n_pts = prob.points.shape[0]
+        bounds = np.linspace(0, n_pts, n + 1).astype(int)
+        pts = np.zeros((n_pts, 3), np.float32)
+        pts_s = np.asarray(state.points)
+        for s in range(n):
+            lo, hi = bounds[s], bounds[s + 1]
+            pts[lo:hi] = pts_s[s, : hi - lo]
+        return ba.BAState(
+            cams=state.cams, points=jnp.asarray(pts),
+            lam=state.lam, cost=state.cost,
+        )
+
+    return run
+
+
+def _pose_graph_refine(result, mesh: Mesh, iters: int = 8):
+    """Distributed pose-graph polish over the keyframe chain (config 5's
+    second half): edges = consecutive + skip-1 keyframe relative poses
+    measured at the BA optimum, sharded over the mesh.  At a consistent
+    optimum the residuals are ~0, so this is drift-redistribution plumbing —
+    it leaves a converged trajectory unchanged."""
+    from ..geometry import pose as P
+    from ..optim import pose_graph as pg
+
+    kfs = result.keyframes
+    if kfs is None or len(kfs) < 3:
+        return result
+    poses = jnp.asarray(np.stack([k.pose for k in kfs]))
+    ei, ej = [], []
+    for i in range(len(kfs) - 1):
+        ei.append(i)
+        ej.append(i + 1)
+        if i + 2 < len(kfs):
+            ei.append(i)
+            ej.append(i + 2)
+    ei = jnp.asarray(ei, jnp.int32)
+    ej = jnp.asarray(ej, jnp.int32)
+    Ri, ti = P.exp_se3(poses[ei])
+    Rj, tj = P.exp_se3(poses[ej])
+    Rr, tr = P.relative(Ri, ti, Rj, tj)
+    graph = pg.PoseGraph(
+        poses=poses, edge_i=ei, edge_j=ej,
+        t_meas=P.log_se3(Rr, tr), weight=jnp.ones(ei.shape[0]),
+    )
+    flat = Mesh(mesh.devices.reshape(-1), axis_names=("pg",))
+    out, _ = dist_pose_graph.optimize_pose_graph_distributed(
+        graph, flat, axis="pg", iters=iters
+    )
+    new_poses = np.asarray(out.poses)
+    for i, k in enumerate(kfs):
+        k.pose = new_poses[i]
+        result.trajectory[k.frame_idx] = new_poses[i]
+    return result
+
+
+def run_slam_distributed(
+    frames, intr, cfg: SiftConfig, mcfg: MatchConfig, scfg, mesh: Mesh,
+    data_axis: str = "data", chunk: Optional[int] = None,
+    pose_graph: bool = True,
+):
+    """The config-5 end-to-end pipeline (see module docstring).
+
+    Produces a `pipeline.slam.SlamResult` matching single-device `run_slam`
+    up to float-reduction order (tests assert trajectory parity on the
+    virtual 8-device mesh)."""
+    from ..pipeline import slam
+
+    seq = extract_sequence_dp(frames, cfg, mesh, axis=data_axis, chunk=chunk)
+    result = slam.run_slam(
+        frames, intr, cfg, mcfg, scfg,
+        features=seq, ba_fn=make_distributed_ba(mesh),
+    )
+    if pose_graph:
+        result = _pose_graph_refine(result, mesh)
+    return result
