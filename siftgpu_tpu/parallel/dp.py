@@ -8,7 +8,7 @@ across devices and XLA inserts nothing but the final gather (if any).
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 from jax.sharding import Mesh, NamedSharding
@@ -24,12 +24,29 @@ def extract_features_dp(
     images: jax.Array, cfg: SiftConfig, mesh: Mesh, axis: str = "data"
 ) -> Features:
     """images: [B, H, W] with B divisible by the `axis` size.  Returns
-    Features sharded along the batch axis (kept device-resident)."""
+    Features sharded along the batch axis (kept device-resident).
+
+    Uses `shard_map` rather than jit+sharding annotations: extraction is
+    purely batch-parallel, but the SPMD partitioner all-gathers every
+    `lax.top_k` operand over the batch axis (TopK/Sort partitioning
+    limitation — verified from the optimized HLO, scripts/scaling.py),
+    duplicating the sort on every device.  shard_map runs the whole program
+    on the local batch: ZERO collectives, exact same outputs."""
     sharding = NamedSharding(mesh, P(axis))
     images = jax.device_put(images, sharding)
-    fn = jax.jit(
-        partial(extract_features, cfg=cfg),
-        in_shardings=sharding,
-        out_shardings=NamedSharding(mesh, P(axis)),
+    return _dp_fn(cfg, mesh, axis)(images)
+
+
+@lru_cache(maxsize=32)
+def _dp_fn(cfg: SiftConfig, mesh: Mesh, axis: str):
+    """Cached jit wrapper: a fresh jax.jit per call would re-trace every
+    chunk of a sequence (the tracing cache lives on the wrapper object)."""
+    return jax.jit(
+        jax.shard_map(
+            partial(extract_features, cfg=cfg),
+            mesh=mesh,
+            in_specs=P(axis),
+            out_specs=P(axis),
+            check_vma=False,
+        )
     )
-    return fn(images)
