@@ -1,6 +1,7 @@
 """Checkpoint / resume: SLAM continues from a snapshot (SURVEY §5.3/5.4)."""
 
 import numpy as np
+import pytest
 
 from siftgpu_tpu.core.config import MatchConfig, SiftConfig
 from siftgpu_tpu.geometry import align
@@ -8,6 +9,7 @@ from siftgpu_tpu.oracle import fixtures
 from siftgpu_tpu.pipeline import checkpoint, slam
 
 
+@pytest.mark.slow
 def test_slam_resume_from_checkpoint(tmp_path):
     H, W = 144, 192
     intr = (170.0, 170.0, W / 2.0, H / 2.0)

@@ -3,6 +3,7 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from siftgpu_tpu.core.config import SiftConfig
 from siftgpu_tpu.frontend import detect, fused, orient, pyramid
@@ -18,6 +19,7 @@ def _real_keypoints(cfg, img):
     return oc, kp, grads
 
 
+@pytest.mark.slow
 def test_fused_matches_unfused_path():
     cfg = SiftConfig(height=120, width=160, max_keypoints=128)
     img = fixtures.random_texture(120, 160, seed=5, smooth=3)
@@ -74,6 +76,7 @@ def test_fused_matches_unfused_path():
     assert cos.min() > 0.999
 
 
+@pytest.mark.slow
 def test_fused_spatial_slab_offsets():
     """y0g/global_h handling: a slab cut from a taller image must mask
     orientation rows and descriptor samples exactly like the unfused path."""

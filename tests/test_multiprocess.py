@@ -21,6 +21,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
+@pytest.mark.slow
 def test_two_process_distributed_ba(tmp_path):
     port = _free_port()
     out = tmp_path / "result.json"

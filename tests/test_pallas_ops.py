@@ -9,6 +9,7 @@ from siftgpu_tpu.core.config import SiftConfig
 from siftgpu_tpu.frontend import describe, orient, pyramid
 from siftgpu_tpu.ops import desc_sampler
 from siftgpu_tpu.oracle import fixtures
+import pytest
 
 
 def test_sample_gradients_matches_xla_bilinear():
@@ -84,6 +85,7 @@ def test_descriptors_pallas_path_matches_xla_path():
     assert cos.min() > 0.9995
 
 
+@pytest.mark.slow
 def test_detect_scores_kernel_matches_xla_dense_path():
     """Fused detect-scores stencil (ops/detect_scores.py) must reproduce the
     XLA dense masks bit-for-bit, including owned-rows restriction, odd sizes,

@@ -32,7 +32,11 @@ def test_data_parallel_matches_single_device():
     np.testing.assert_array_equal(np.asarray(ref.desc), np.asarray(out.desc))
 
 
-@pytest.mark.parametrize("n", [2, 4, 8])
+@pytest.mark.parametrize(
+    "n",
+    [2, pytest.param(4, marks=pytest.mark.slow),
+     pytest.param(8, marks=pytest.mark.slow)],
+)
 def test_spatial_sharding_matches_single_device(n):
     H, W = 256, 96
     cfg = SiftConfig(height=H, width=W, max_keypoints=512)

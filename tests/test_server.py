@@ -81,6 +81,7 @@ def test_server_error_does_not_kill_session(served):
     assert served.ping()  # command loop survived
 
 
+@pytest.mark.slow
 def test_spawned_server_roundtrip(frames):
     """create_remote_sift_tpu spawn path: a real subprocess server."""
     a, _ = frames
