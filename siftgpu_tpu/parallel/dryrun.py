@@ -122,3 +122,13 @@ def run_dryrun(n_devices: int) -> None:
         graph, pg_mesh, axis="pg", iters=2
     )
     jax.block_until_ready(out.poses)
+
+    # --- 6. config-5 sequence pipeline: chunked DP extraction feeding the
+    # SLAM loop with the distributed BA hook (parallel/sequence.py) ---
+    from . import sequence
+
+    seq = sequence.extract_sequence_dp(frames, cfg, mesh, axis="data", chunk=B)
+    assert seq.desc.shape[0] == B
+    ba_fn = sequence.make_distributed_ba(mesh)
+    st2 = ba_fn(prob, 2, 8)
+    jax.block_until_ready(st2.cams)
