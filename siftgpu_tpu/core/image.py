@@ -14,7 +14,8 @@ from typing import Tuple
 import numpy as np
 
 __all__ = [
-    "to_grayscale", "load_image", "load_pnm", "save_pgm", "downsample_to_fit",
+    "to_grayscale", "load_image", "load_pnm", "save_pgm", "save_ppm",
+    "downsample_to_fit",
 ]
 
 # reference RGB->luminance weights (GL shader convention ⚠)
@@ -85,6 +86,17 @@ def save_pgm(path: str, img: np.ndarray) -> None:
         a = np.clip(a * 255.0 + 0.5, 0, 255).astype(np.uint8)
     with open(path, "wb") as f:
         f.write(b"P5\n%d %d\n255\n" % (a.shape[1], a.shape[0]))
+        f.write(a.tobytes())
+
+
+def save_ppm(path: str, img: np.ndarray) -> None:
+    """uint8 [H, W, 3] (or float [0,1]) RGB -> binary PPM (overlay output)."""
+    a = np.asarray(img)
+    if a.dtype != np.uint8:
+        a = np.clip(a * 255.0 + 0.5, 0, 255).astype(np.uint8)
+    assert a.ndim == 3 and a.shape[2] == 3, "save_ppm expects [H, W, 3]"
+    with open(path, "wb") as f:
+        f.write(b"P6\n%d %d\n255\n" % (a.shape[1], a.shape[0]))
         f.write(a.tobytes())
 
 

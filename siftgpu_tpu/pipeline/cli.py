@@ -34,15 +34,16 @@ def _split_flags(args):
     """Separate known reference flags from argparse args."""
     known, rest = [], []
     i = 0
-    from ..core.flags import _BOOL, _OPTIONAL_VALUED, _VALUED
+    from ..core.flags import _BOOL, _OPTIONAL_VALUED, _TC, _VALUED
 
+    _valued = {**_VALUED, **dict.fromkeys(_TC)}
     while i < len(args):
         a = args[i]
         base = a.split("=")[0]
-        if base in _VALUED and "=" not in a:
+        if base in _valued and "=" not in a:
             known += args[i : i + 2]
             i += 2
-        elif base in _VALUED or base in _BOOL:
+        elif base in _valued or base in _BOOL:
             known.append(a)
             i += 1
         elif base in _OPTIONAL_VALUED:
@@ -90,6 +91,10 @@ def cmd_match(argv):
     p.add_argument("image1")
     p.add_argument("--distmax", type=float, default=0.7)
     p.add_argument("--ratiomax", type=float, default=0.8)
+    p.add_argument(
+        "--viz", default=None, metavar="OUT.ppm",
+        help="write a side-by-side match-lines overlay (viewer analog)",
+    )
     a = p.parse_args(rest)
     s = SiftTPU(argv=flags_argv)
     s.run_sift(a.image0)
@@ -103,6 +108,13 @@ def cmd_match(argv):
     print(f"{len(d0)} x {len(d1)} features -> {len(pairs)} matches")
     for i, j in pairs[:20]:
         print(f"  ({k0[i,0]:7.2f},{k0[i,1]:7.2f}) <-> ({k1[j,0]:7.2f},{k1[j,1]:7.2f})")
+    if a.viz:
+        from . import viz
+
+        img0 = imio.load_image(a.image0)
+        img1 = imio.load_image(a.image1)
+        imio.save_ppm(a.viz, viz.draw_matches(img0, img1, k0, k1, pairs))
+        print(f"wrote {a.viz}")
     return 0
 
 
@@ -187,6 +199,11 @@ def cmd_dump(argv):
     p = argparse.ArgumentParser(prog="dump")
     p.add_argument("image")
     p.add_argument("--outdir", default="dump")
+    p.add_argument(
+        "--kp", action="store_true",
+        help="also render keypoints (scale circles + orientation ticks) "
+             "over the input as keypoints.ppm (viewer analog)",
+    )
     a = p.parse_args(rest)
     import os
 
@@ -200,6 +217,16 @@ def cmd_dump(argv):
     maxd = s._overrides.get("max_dim", 0)
     if maxd:
         img = imio.downsample_to_fit(img, maxd)
+    if a.kp:
+        from . import viz
+
+        s.run_sift(img)
+        keys, _ = s.get_feature_vector()
+        over = viz.draw_keypoints(
+            img, keys[:, 0], keys[:, 1], keys[:, 2], keys[:, 3]
+        )
+        imio.save_ppm(f"{a.outdir}/keypoints.ppm", over)
+        print(f"wrote {a.outdir}/keypoints.ppm ({len(keys)} keypoints)")
     cfg = s.config_for(*img.shape)
     pyr = pyramid.build_pyramid(jnp.asarray(img[None]), cfg)
     for o, oc in enumerate(pyr):
