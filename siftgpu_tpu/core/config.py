@@ -113,6 +113,10 @@ class SiftConfig:
     # The CPU conv path is exact regardless.
     pyramid_precision: str = "high"
     use_pallas: bool = True        # Pallas kernels where available, else pure XLA
+    # `-obo`: octave-by-octave processing (GlobalUtil::_ProcessOBO analog ⚠
+    # SURVEY §5.7): one dispatch per octave bounds peak HBM to one octave's
+    # working set; identical outputs (frontend.extract.extract_features_obo)
+    process_obo: bool = False
 
     # ---------------- derived static geometry ----------------
 

@@ -16,6 +16,7 @@ Supported (flag -> field):
   -tc/-tc3 <n> max_keypoints, truncation by response (truncate_method 0)
   -tc1 <n>     max_keypoints, prefer fine octaves   (truncate_method 1)
   -tc2 <n>     max_keypoints, prefer coarse octaves (truncate_method 2)
+  -obo         process_obo (octave-by-octave memory-capped mode)
   -loweo       lowe_origin (+0.5 pixel origin)
   -unn         unnormalized descriptors
   -sign        keep_sign
@@ -71,6 +72,7 @@ _TC = {"-tc": 0, "-tc1": 1, "-tc2": 2, "-tc3": 0}
 _BOOL = {
     "-loweo": ("lowe_origin", True),
     "-unn": ("unnormalized", True),
+    "-obo": ("process_obo", True),
     "-sign": ("keep_sign", True),
     "-b": ("_output_binary", True),
     # backend-selection flags: meaningless here (single XLA backend) but

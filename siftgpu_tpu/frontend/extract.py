@@ -22,7 +22,10 @@ import jax.numpy as jnp
 from ..core.config import SiftConfig
 from . import describe, detect, orient, pyramid
 
-__all__ = ["Features", "extract_features", "extract_features_jit"]
+__all__ = [
+    "Features", "extract_features", "extract_features_jit",
+    "extract_features_obo",
+]
 
 
 class Features(NamedTuple):
@@ -226,3 +229,68 @@ def extract_features(images: jax.Array, cfg: SiftConfig) -> Features:
 @partial(jax.jit, static_argnums=1)
 def extract_features_jit(images: jax.Array, cfg: SiftConfig) -> Features:
     return extract_features(images, cfg)
+
+
+# ---------------- octave-by-octave mode (`_ProcessOBO` analog) ----------------
+
+@partial(jax.jit, static_argnums=1)
+def _obo_prep_jit(images: jax.Array, cfg: SiftConfig) -> jax.Array:
+    """Input conditioning + initial blur -> octave 0's Gaussian level 0."""
+    x = images.astype(jnp.dtype(cfg.pyramid_dtype))
+    if cfg.upsampled:
+        x = pyramid.upsample2x(x)
+    else:
+        for _ in range(cfg.first_octave):
+            x = pyramid.downsample2x(x)
+    return pyramid.blur_separable(
+        x, cfg.gaussian_taps(cfg.initial_blur_sigma()),
+        precision=cfg.pyramid_precision,
+    )
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def _obo_octave_jit(base: jax.Array, cfg: SiftConfig, o: int):
+    """One octave end-to-end: blur levels -> DoG -> detect -> orient/describe.
+    Returns (image-coordinate candidate dict, next octave's level-0 seed).
+    Only `base` [B, H_o, W_o] and the (small) candidate buffers live across
+    dispatches, so peak memory is ONE octave's working set."""
+    B = base.shape[0]
+    levels = [base]
+    for s in cfg.incremental_sigmas():
+        levels.append(
+            pyramid.blur_separable(
+                levels[-1], cfg.gaussian_taps(float(s)),
+                precision=cfg.pyramid_precision,
+            )
+        )
+    gauss = jnp.stack(levels, axis=1)
+    oc = pyramid.Octave(gauss=gauss, dog=gauss[:, 1:] - gauss[:, :-1])
+    cand = octave_candidates(oc, cfg, cfg.octave_cap(o))
+    part = to_image_coords(cand, cfg, o, B)
+    return part, pyramid.downsample2x(levels[cfg.dog_levels])
+
+
+@partial(jax.jit, static_argnums=1)
+def _obo_assemble_jit(parts, cfg: SiftConfig) -> Features:
+    return assemble_features(list(parts), cfg)
+
+
+def extract_features_obo(images: jax.Array, cfg: SiftConfig) -> Features:
+    """Memory-capped extraction: one dispatch per octave instead of one fused
+    program (`GlobalUtil::_ProcessOBO` analog ⚠ SURVEY §5.7 — the reference
+    processes octaves one-by-one to fit large images in texture memory).
+
+    Peak device memory is bounded by octave 0's working set (~the fused
+    program holds several octaves' pyramids + gradient stacks concurrently,
+    scheduler-dependent); the cost is per-dispatch overhead and no
+    cross-octave fusion/prefilter.  Outputs are IDENTICAL to
+    `extract_features`: the per-octave candidate sets are the same, the
+    cross-octave `prefilter_candidates` is output-preserving (only a work
+    saver), and the final assembly applies the same top-K.
+    """
+    base = _obo_prep_jit(images, cfg)
+    parts = []
+    for o in range(cfg.octaves):
+        part, base = _obo_octave_jit(base, cfg, o)
+        parts.append(part)
+    return _obo_assemble_jit(tuple(parts), cfg)

@@ -139,7 +139,12 @@ class SiftTPU:
         import time as _time
 
         t0 = _time.perf_counter()
-        self._feats = extract_features_jit(jnp.asarray(arr[None]), cfg)
+        if cfg.process_obo:  # -obo: memory-capped octave-by-octave dispatches
+            from ..frontend.extract import extract_features_obo
+
+            self._feats = extract_features_obo(jnp.asarray(arr[None]), cfg)
+        else:
+            self._feats = extract_features_jit(jnp.asarray(arr[None]), cfg)
         if verbose >= 1:  # reference -v 1: totals (SURVEY §5.5 ⚠)
             n = int(np.asarray(self._feats.count)[0])  # forces device sync
             print(f"#features: {n}  time: {(_time.perf_counter() - t0) * 1e3:.1f} ms")
