@@ -13,14 +13,15 @@ wrapping one `SiftTPU` + `SiftMatchTPU` pair, and client proxies with the
 same method surface.  Command words mirror the reference's (RUNSIFT,
 GET_FEATURE_NUM, GET_FEATURE_VECTOR, SET_DESCRIPTORS, GET_MATCH, ...).
 
-Framing: 4-byte magic + u64 length + pickle payload.  Pickle implies the
-usual trust model — same as the reference's raw-struct protocol: run it
-between mutually trusted processes/machines only.
+Framing: 4-byte magic + u64 length + a data-only payload (JSON structure
+tree + raw `.npy` array sections — no pickle, nothing executable on decode;
+the reference's protocol is likewise raw structs).
 """
 
 from __future__ import annotations
 
-import pickle
+import io
+import json
 import socket
 import struct
 import subprocess
@@ -28,17 +29,87 @@ import sys
 import time
 from typing import Optional, Sequence
 
+import numpy as np
+
 __all__ = [
     "serve", "RemoteSiftTPU", "RemoteSiftMatchTPU", "RemoteComboSiftTPU",
     "create_remote_sift_tpu",
 ]
 
-_MAGIC = b"SFT1"
+_MAGIC = b"SFT2"
 _HDR = struct.Struct("<4sQ")
 
 
+def _pack(obj) -> bytes:
+    """Encode nested tuples/lists/dicts of scalars, strings, bytes and
+    arrays as a JSON tree with `.npy`-serialized array attachments."""
+    arrays = []
+
+    def enc(o):
+        if o is None or isinstance(o, (bool, int, float, str)):
+            return o
+        if isinstance(o, bytes):
+            arrays.append(np.frombuffer(o, np.uint8))
+            return {"__bytes__": len(arrays) - 1}
+        if isinstance(o, np.generic):          # numpy scalar
+            return enc(o.item())
+        if not isinstance(o, np.ndarray) and hasattr(o, "__array__") \
+                and getattr(o, "ndim", None) is not None:
+            o = np.asarray(o)                  # jax arrays etc.
+        if isinstance(o, np.ndarray):
+            arrays.append(np.ascontiguousarray(o))
+            return {"__nd__": len(arrays) - 1}
+        if isinstance(o, dict):
+            return {"__d__": {str(k): enc(v) for k, v in o.items()}}
+        if isinstance(o, tuple):
+            return {"__t__": [enc(v) for v in o]}
+        if isinstance(o, list):
+            return [enc(v) for v in o]
+        raise TypeError(f"unserializable type {type(o).__name__}")
+
+    tree = json.dumps(enc(obj)).encode()
+    parts = [struct.pack("<II", len(tree), len(arrays)), tree]
+    for a in arrays:
+        bio = io.BytesIO()
+        np.save(bio, a, allow_pickle=False)
+        raw = bio.getvalue()
+        parts.append(struct.pack("<Q", len(raw)))
+        parts.append(raw)
+    return b"".join(parts)
+
+
+def _unpack(data: bytes):
+    off = 8
+    tree_len, n_arrays = struct.unpack_from("<II", data, 0)
+    tree = json.loads(data[off : off + tree_len].decode())
+    off += tree_len
+    arrays = []
+    for _ in range(n_arrays):
+        (ln,) = struct.unpack_from("<Q", data, off)
+        off += 8
+        arrays.append(np.load(io.BytesIO(data[off : off + ln]),
+                              allow_pickle=False))
+        off += ln
+
+    def dec(o):
+        if isinstance(o, dict):
+            if "__nd__" in o:
+                return arrays[o["__nd__"]]
+            if "__bytes__" in o:
+                return arrays[o["__bytes__"]].tobytes()
+            if "__d__" in o:
+                return {k: dec(v) for k, v in o["__d__"].items()}
+            if "__t__" in o:
+                return tuple(dec(v) for v in o["__t__"])
+        if isinstance(o, list):
+            return [dec(v) for v in o]
+        return o
+
+    return dec(tree)
+
+
 def _send(sock: socket.socket, obj) -> None:
-    data = pickle.dumps(obj, protocol=pickle.HIGHEST_PROTOCOL)
+    data = _pack(obj)
     sock.sendall(_HDR.pack(_MAGIC, len(data)) + data)
 
 
@@ -56,7 +127,7 @@ def _recv(sock: socket.socket):
     magic, n = _HDR.unpack(_recv_exact(sock, _HDR.size))
     if magic != _MAGIC:
         raise ConnectionError(f"bad frame magic {magic!r}")
-    return pickle.loads(_recv_exact(sock, n))
+    return _unpack(_recv_exact(sock, n))
 
 
 # ---------------------------------------------------------------------------
