@@ -108,7 +108,11 @@ def _select(sim, mask0, mask1, cfg: MatchConfig) -> MatchResult:
     return _finalize(bsim, ssim, best_j, col_best_i, cfg)
 
 
-def _match_streaming(d0, d1, mask0, mask1, cfg: MatchConfig) -> MatchResult:
+def _match_streaming(
+    d0, d1, mask0, mask1, cfg: MatchConfig,
+    loc0=None, loc1=None, H=None, F=None,
+    hdist_max: float = 32.0, fdist_max: float = 16.0,
+) -> MatchResult:
     """Blockwise streaming best-2 matcher (the FlashAttention-style path,
     SURVEY.md §2.4 item 7): d1 is processed in `cfg.block_size`-column
     blocks under `lax.scan`, carrying per-row running (best, second, argbest)
@@ -116,7 +120,11 @@ def _match_streaming(d0, d1, mask0, mask1, cfg: MatchConfig) -> MatchResult:
     sets far beyond SetMaxSift's ~8k (64 MB at 4k x 4k f32) fit on chip.
     Column-side best rows (mutual check) complete within each block, which
     holds all N0 rows.  Bit-identical selection semantics to the dense path
-    (first-index tie-breaks preserved by the strict `>` merge)."""
+    (first-index tie-breaks preserved by the strict `>` merge).
+
+    With `H`/`F` set this is the STREAMING GUIDED matcher: the reprojection /
+    epipolar gates are computed per loc1 block inside the scan, so the
+    [N0, N1] gate matrices are never materialized either."""
     Bc = cfg.block_size
     n0, n1 = d0.shape[0], d1.shape[0]
     f0 = _normalize(d0)
@@ -128,12 +136,23 @@ def _match_streaming(d0, d1, mask0, mask1, cfg: MatchConfig) -> MatchResult:
     nb = f1.shape[0] // Bc
     f1b = f1.reshape(nb, Bc, -1)
     m1b = mask1.reshape(nb, Bc)
+    guided = H is not None or F is not None
+    if guided:
+        l1p = jnp.pad(loc1.astype(jnp.float32), ((0, pad), (0, 0)))
+        l1b = l1p.reshape(nb, Bc, 2)
+    else:
+        l1b = jnp.zeros((nb, Bc, 2), jnp.float32)
 
     def step(carry, blk):
         best, second, best_j = carry
-        fb, mb, off = blk
+        fb, mb, lb, off = blk
         sim = jnp.dot(f0, fb.T, precision=_HI)
-        sim = jnp.where(mask0[:, None] & mb[None, :], sim, -jnp.inf)
+        keep = mask0[:, None] & mb[None, :]
+        if H is not None:
+            keep &= _homography_gate(loc0, lb, H, hdist_max)
+        if F is not None:
+            keep &= _epipolar_gate(loc0, lb, F, fdist_max)
+        sim = jnp.where(keep, sim, -jnp.inf)
         b, s, j = _best2_sim(sim)
         # disjoint-candidate top-2 merge; strict > keeps the earlier
         # (lower-index) winner on ties, matching dense argmax
@@ -149,7 +168,7 @@ def _match_streaming(d0, d1, mask0, mask1, cfg: MatchConfig) -> MatchResult:
         jnp.zeros((n0,), jnp.int32),
     )
     offs = jnp.arange(nb, dtype=jnp.int32) * Bc
-    (bsim, ssim, best_j), cols = jax.lax.scan(step, init, (f1b, m1b, offs))
+    (bsim, ssim, best_j), cols = jax.lax.scan(step, init, (f1b, m1b, l1b, offs))
     col_best_i = cols.reshape(nb * Bc)[:n1] if cfg.mutual_best else None
     return _finalize(bsim, ssim, best_j, col_best_i, cfg)
 
@@ -237,11 +256,21 @@ def guided_match_descriptors(
     cfg: MatchConfig = MatchConfig(),
 ) -> MatchResult:
     """GetGuidedSiftMatch analog: gate pairs by H reprojection / F epipolar
-    distance, fused into the score matrix before best-2 selection."""
+    distance, fused into the score matrix before best-2 selection.  Above
+    `cfg.block_size` columns the gates stream per block (no [N0, N1] gate
+    matrices), same selection semantics as the dense form."""
     if mask0 is None:
         mask0 = jnp.ones(d0.shape[0], bool)
     if mask1 is None:
         mask1 = jnp.ones(d1.shape[0], bool)
+    if cfg.block_size > 0 and d1.shape[0] > cfg.block_size:
+        Hj = None if H is None else jnp.asarray(H, jnp.float32)
+        Fj = None if F is None else jnp.asarray(F, jnp.float32)
+        return _match_streaming(
+            d0, d1, mask0, mask1, cfg,
+            loc0=jnp.asarray(loc0, jnp.float32), loc1=jnp.asarray(loc1),
+            H=Hj, F=Fj, hdist_max=hdist_max, fdist_max=fdist_max,
+        )
     sim = _similarities(d0, d1)
     gate = jnp.ones_like(sim, dtype=bool)
     if H is not None:
