@@ -62,13 +62,18 @@ class SequenceFeatures(NamedTuple):
 
 def extract_sequence_dp(
     frames, cfg: SiftConfig, mesh: Mesh, axis: str = "data",
-    chunk: Optional[int] = None,
+    chunk: Optional[int] = None, metrics=None,
 ) -> SequenceFeatures:
     """Extract a [T, H, W] sequence data-parallel over `axis`.
 
     `chunk` (a multiple of the axis size; default 4 frames/device) bounds the
     pyramid working set per dispatch.  The tail chunk is padded with copies of
     the last frame and the padding dropped after extraction (fixed shapes)."""
+    import time as _time
+
+    from ..pipeline.metrics import or_null
+
+    metrics = or_null(metrics)
     n = mesh.shape[axis]
     T = len(frames)
     chunk = chunk or 4 * n
@@ -77,6 +82,7 @@ def extract_sequence_dp(
 
     descs, masks_d, xs, ys, ms = [], [], [], [], []
     for lo in range(0, T, chunk):
+        t0 = _time.perf_counter()
         blk = frames[lo : lo + chunk]
         pad = (-len(blk)) % n
         if pad:
@@ -91,6 +97,10 @@ def extract_sequence_dp(
         xs.append(x_h)
         ys.append(y_h)
         ms.append(m_h)
+        metrics.event(
+            "extract_chunk", lo=lo, frames=keep, devices=n,
+            kp=int(m_h.sum()), ms=(_time.perf_counter() - t0) * 1e3,
+        )
     return SequenceFeatures(
         desc=jnp.concatenate(descs),
         mask_dev=jnp.concatenate(masks_d),
@@ -170,20 +180,28 @@ def _pose_graph_refine(result, mesh: Mesh, iters: int = 8):
 def run_slam_distributed(
     frames, intr, cfg: SiftConfig, mcfg: MatchConfig, scfg, mesh: Mesh,
     data_axis: str = "data", chunk: Optional[int] = None,
-    pose_graph: bool = True,
+    pose_graph: bool = True, metrics=None,
 ):
     """The config-5 end-to-end pipeline (see module docstring).
 
     Produces a `pipeline.slam.SlamResult` matching single-device `run_slam`
     up to float-reduction order (tests assert trajectory parity on the
-    virtual 8-device mesh)."""
+    virtual 8-device mesh).  `metrics`: per-host JSONL stream (SURVEY §5.5)."""
     from ..pipeline import slam
+    from ..pipeline.metrics import or_null
 
-    seq = extract_sequence_dp(frames, cfg, mesh, axis=data_axis, chunk=chunk)
+    m = or_null(metrics)
+    m.event("sequence_start", frames=len(frames),
+            devices=int(np.prod(list(mesh.shape.values()))))
+    seq = extract_sequence_dp(
+        frames, cfg, mesh, axis=data_axis, chunk=chunk, metrics=metrics
+    )
     result = slam.run_slam(
         frames, intr, cfg, mcfg, scfg,
-        features=seq, ba_fn=make_distributed_ba(mesh),
+        features=seq, ba_fn=make_distributed_ba(mesh), metrics=metrics,
     )
     if pose_graph:
         result = _pose_graph_refine(result, mesh)
+    m.event("sequence_done", keyframes=len(result.keyframe_indices),
+            map_pts=int(result.map_mask.sum()))
     return result

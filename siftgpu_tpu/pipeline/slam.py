@@ -106,7 +106,8 @@ def _host_kp(feats):
 
 def run_slam(frames, intr, cfg, mcfg, scfg: SlamConfig,
              gt_for_debug: Optional[np.ndarray] = None,
-             resume=None, features=None, ba_fn=None) -> SlamResult:
+             resume=None, features=None, ba_fn=None,
+             metrics=None) -> SlamResult:
     """frames: [T, H, W] float array; intr: (fx, fy, cx, cy).
 
     `resume`: a `checkpoint.SlamCheckpoint` — restores the map, trajectory
@@ -119,8 +120,15 @@ def run_slam(frames, intr, cfg, mcfg, scfg: SlamConfig,
 
     `ba_fn`: optional BAProblem -> BAState override for the windowed BA
     (e.g. `parallel.sequence.make_distributed_ba(mesh)` — BASELINE config 5's
-    distributed Schur solve); defaults to the single-device `ba.run_ba`."""
+    distributed Schur solve); defaults to the single-device `ba.run_ba`.
+
+    `metrics`: a `pipeline.metrics.MetricsLogger` — per-frame tracking,
+    keyframe, and BA-window JSONL events (SURVEY §5.5)."""
     import jax.numpy as jnp
+
+    from .metrics import or_null
+
+    metrics = or_null(metrics)
 
     from ..frontend.extract import extract_features_jit
     from ..frontend.match import match_descriptors
@@ -219,6 +227,8 @@ def run_slam(frames, intr, cfg, mcfg, scfg: SlamConfig,
             k.pose = new_cams[ci]
             traj[k.frame_idx] = new_cams[ci]
         map_X = np.array(state.points)  # copy: np.asarray of a jax array is read-only
+        metrics.event("ba_window", n_kf=len(win), n_obs=len(obs_c),
+                      cost=float(np.asarray(state.cost)))
 
     def add_keyframe(t, feats, kp, pose_tw, mapped_pairs=None, prev_kf=None,
                      tri_pairs=None):
@@ -320,6 +330,8 @@ def run_slam(frames, intr, cfg, mcfg, scfg: SlamConfig,
             traj[t] = pose_t
             last_pose = pose_t
             tracked.append(n_inl)
+            metrics.event("track", frame=t, inliers=n_inl,
+                          matches=int(counts_np[0]), map_pts=map_n)
 
             flow = (
                 np.median(np.hypot(
@@ -340,6 +352,8 @@ def run_slam(frames, intr, cfg, mcfg, scfg: SlamConfig,
                     unmapped = unmapped[keep]
                 add_keyframe(t, ft, kpt, pose_t, mapped_pairs=mapped,
                              prev_kf=kf, tri_pairs=unmapped)
+                metrics.event("keyframe", frame=t, n_kf=len(keyframes),
+                              map_pts=map_n)
                 windowed_ba()
                 last_pose = keyframes[-1].pose
             t += 1
@@ -395,6 +409,7 @@ def run_slam(frames, intr, cfg, mcfg, scfg: SlamConfig,
         ft = extract(t)
         kpt = host_kp(t, ft)
         pairs = match(f0, ft)
+        metrics.event("bootstrap", frame=t, matches=len(pairs))
         if len(pairs) < 16:
             traj[t] = last_pose
             tracked.append(0)
