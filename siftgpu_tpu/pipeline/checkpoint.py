@@ -9,6 +9,7 @@ checkpoint and reproduces the uncheckpointed tail.
 
 from __future__ import annotations
 
+import os
 from typing import List, Optional
 
 import numpy as np
@@ -51,7 +52,14 @@ def save_slam_state(path: str, res: slam_mod.SlamResult, next_frame: int,
             kf_mask=last.kp["mask"],
             kf_pt_ids=last.pt_ids,
         )
-    np.savez_compressed(path, **payload)
+    # atomic publish: a crash mid-write (SURVEY §5.3 fault model) must never
+    # leave a truncated checkpoint — write to a sibling tmp file, then rename
+    tmp = f"{path}.tmp"
+    with open(tmp, "wb") as f:
+        np.savez_compressed(f, **payload)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
 
 
 def load_slam_state(path: str) -> SlamCheckpoint:

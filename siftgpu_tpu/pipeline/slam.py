@@ -107,7 +107,7 @@ def _host_kp(feats):
 def run_slam(frames, intr, cfg, mcfg, scfg: SlamConfig,
              gt_for_debug: Optional[np.ndarray] = None,
              resume=None, features=None, ba_fn=None,
-             metrics=None) -> SlamResult:
+             metrics=None, checkpoint_path=None) -> SlamResult:
     """frames: [T, H, W] float array; intr: (fx, fy, cx, cy).
 
     `resume`: a `checkpoint.SlamCheckpoint` — restores the map, trajectory
@@ -123,7 +123,12 @@ def run_slam(frames, intr, cfg, mcfg, scfg: SlamConfig,
     distributed Schur solve); defaults to the single-device `ba.run_ba`.
 
     `metrics`: a `pipeline.metrics.MetricsLogger` — per-frame tracking,
-    keyframe, and BA-window JSONL events (SURVEY §5.5)."""
+    keyframe, and BA-window JSONL events (SURVEY §5.5).
+
+    `checkpoint_path`: periodic crash-recovery snapshots (SURVEY §5.3) —
+    after every keyframe's windowed BA the map/trajectory state is written
+    atomically to this path; a killed run restarts via
+    `run_slam(..., resume=checkpoint.load_slam_state(path))`."""
     import jax.numpy as jnp
 
     from .metrics import or_null
@@ -356,6 +361,14 @@ def run_slam(frames, intr, cfg, mcfg, scfg: SlamConfig,
                               map_pts=map_n)
                 windowed_ba()
                 last_pose = keyframes[-1].pose
+                if checkpoint_path is not None:
+                    from . import checkpoint as _ckpt
+
+                    _ckpt.save_slam_state(
+                        checkpoint_path, _result(t), next_frame=t + 1,
+                        keyframes=keyframes,
+                    )
+                    metrics.event("checkpoint", frame=t)
             t += 1
         return t
 
