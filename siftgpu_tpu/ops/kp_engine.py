@@ -47,15 +47,17 @@ __all__ = ["orient_sample", "window_geometry"]
 
 _TWO_PI = 6.283185307179586
 _NEG = -1e30
-BLK = 8  # keypoints per grid step
+# keypoints per grid step (env knob for benchmarking block-size tradeoffs:
+# larger BLK amortizes per-step overhead, costs VMEM)
+BLK = int(__import__("os").environ.get("SIFTGPU_KP_BLK", "8"))
 
 
 def _vec3(vals, dtype):
-    """[BLK, 1, 1] vector from BLK in-kernel scalars.  Mosaic rejects the
+    """[len(vals), 1, 1] vector from in-kernel scalars.  Mosaic rejects the
     1-D stack + reshape formulation (vector<8> -> vector<8x1x1> shape cast),
-    so build it as BLK iota-selected splats instead."""
-    ids = jax.lax.broadcasted_iota(jnp.int32, (BLK, 1, 1), 0)
-    out = jnp.zeros((BLK, 1, 1), dtype)
+    so build it as iota-selected splats instead."""
+    ids = jax.lax.broadcasted_iota(jnp.int32, (len(vals), 1, 1), 0)
+    out = jnp.zeros((len(vals), 1, 1), dtype)
     for k, s in enumerate(vals):
         out = jnp.where(ids == k, s, out)
     return out
@@ -111,12 +113,12 @@ def _smooth_matrix(nb: int, rounds: int = 6) -> np.ndarray:
 def _kernel(
     cur_ref, nxt_ref, flt_ref, y0g_ref, sm_ref, gx_hbm, gy_hbm,
     misc_ref, sgx_ref, sgy_ref,
-    wxy, a_scr, b_scr, sems, *scr,
+    wxy, b_scr, sems, *scr,
     win_y, win_x, win_o, ori_span, nb, nori, G, peak_ratio,
-    sig_f, rad_f, spacing, spc_cell, narrow,
+    sig_f, rad_f, spacing, spc_cell, narrow, packed,
 ):
-    """cur/nxt_ref: [1, 8, BLK] int32 SMEM (plane, wy0, wx0, ro, sy, sx,
-    valid, co); flt_ref: [1, 3, BLK] f32 SMEM (ky, kx, sigma); y0g_ref:
+    """cur/nxt_ref: [1, 9, BLK] int32 SMEM (plane, wy0, wx0, ro, sy, sx,
+    valid, co, ix); flt_ref: [1, 3, BLK] f32 SMEM (ky, kx, sigma); y0g_ref:
     [1, 3] int32 SMEM (global row offset, true image width, global image
     height); sm_ref: [nb, 3nb] smoothing constant; wxy: [2, BLK, WIN_Y,
     2*WIN_X] double-buffered window scratch (gx cols [:WIN_X]).
@@ -191,7 +193,27 @@ def _kernel(
         ro = pl.multiple_of(cur_ref[0, 3, k], 8)
         nwin[k, :, :128] = pltpu.roll(wxy[slot, k, :, :win_x], -co, 1)[:, :128]
         nwin[k, :, 128:] = pltpu.roll(wxy[slot, k, :, win_x:], -co, 1)[:, :128]
-        owin[k] = nwin[k, pl.ds(ro, ori_span), :]
+        if not packed:
+            owin[k] = nwin[k, pl.ds(ro, ori_span), :]
+            return
+        # `packed`: TWO keypoints share each 128-lane register of the
+        # orientation window — even keypoint centered at lanes 32 (gx) /
+        # 160 (gy), odd at 96 / 224 — halving the 36-bin accumulate loop's
+        # VPU element count.  Valid because the radius mask bounds every
+        # contributing pixel within +-(R+1) <= 31 columns of the keypoint,
+        # which sits at lane cl = ix - wx0 - co of its compact window.
+        # Wrapped lanes alias columns outside [window start, window end),
+        # which the box/circle masks always reject.
+        cl = cur_ref[0, 8, k] - cur_ref[0, 2, k] - co
+        rolled = pltpu.roll(
+            nwin[k, pl.ds(ro, ori_span), :], (32 + 64 * (k % 2)) - cl, 1
+        )
+        if k % 2 == 0:
+            owin[k // 2] = rolled
+        else:
+            lane = jax.lax.broadcasted_iota(jnp.int32, (ori_span, 256), 1)
+            keep = (lane < 64) | ((lane >= 128) & (lane < 192))
+            owin[k // 2] = jnp.where(keep, owin[k // 2], rolled)
 
     def one_hist(k):
         wy0 = cur_ref[0, 1, k]
@@ -306,9 +328,77 @@ def _kernel(
         ]                                            # each [BLK, 128]
         return jnp.sum(jnp.stack(parts, axis=1), axis=2)   # [BLK, nb]
 
+    def packed_hist():
+        """Pair-packed variant of `batched_hist`: the 36-bin accumulate runs
+        on [BLK/2, ori_span, 128] with two keypoints per register (even in
+        lanes 0:64 / 128:192, odd in 64:128 / 192:256 — see `build_narrow`).
+        Identical per-pixel math; per-keypoint scalars become lane-half
+        selected constants, and the final lane reduction splits per half."""
+        BLK2 = BLK // 2
+        lane1 = jax.lax.broadcasted_iota(jnp.int32, (BLK2, 1, 128), 2)
+
+        def halves(fn, dtype):
+            va = _vec3([fn(k) for k in range(0, BLK, 2)], dtype)
+            vb = _vec3([fn(k) for k in range(1, BLK, 2)], dtype)
+            return jnp.where(lane1 < 64, va, vb)       # [BLK2, 1, 128]
+
+        wy0ro = lambda k: cur_ref[0, 1, k] + cur_ref[0, 3, k]
+        ixof = lambda k: cur_ref[0, 8, k] - (32 + 64 * (k % 2))
+        sww = lambda k: sig_f * flt_ref[0, 2, k]
+        fy = jnp.float32
+        c_oy = halves(lambda k: wy0ro(k).astype(fy) - flt_ref[0, 0, k], fy)
+        c_ox = halves(lambda k: ixof(k).astype(fy) - flt_ref[0, 1, k], fy)
+        c_by = halves(lambda k: wy0ro(k) - cur_ref[0, 4, k], jnp.int32)
+        c_bx = halves(lambda k: ixof(k) - cur_ref[0, 5, k], jnp.int32)
+        c_gy = halves(lambda k: wy0ro(k) + y0g, jnp.int32)
+        c_iv = halves(lambda k: -0.5 / (sww(k) * sww(k)), fy)
+        c_r2 = halves(lambda k: (rad_f * sww(k)) * (rad_f * sww(k)), fy)
+
+        sh3 = (BLK2, ori_span, 128)
+        rows = jax.lax.broadcasted_iota(jnp.int32, sh3, 1)
+        cols = jax.lax.broadcasted_iota(jnp.int32, sh3, 2)
+        gxw = owin[:, :, :128]
+        gyw = owin[:, :, 128:]
+        oy = rows.astype(fy) + c_oy
+        ox = cols.astype(fy) + c_ox
+        r2 = oy * oy + ox * ox
+        br = rows + c_by
+        bc = cols + c_bx
+        gr = rows + c_gy
+        inwin = (
+            (br >= 0) & (br < win_o) & (bc >= 0) & (bc < win_o)
+            & (gr >= 0) & (gr < global_h) & (r2 <= c_r2)
+        )
+        wgt = jnp.where(inwin, jnp.exp(r2 * c_iv), 0.0)
+        mag = jnp.sqrt(gxw * gxw + gyw * gyw)
+        wm = wgt * mag
+        ax = jnp.abs(gxw)
+        ay = jnp.abs(gyw)
+        s = jnp.zeros(ax.shape, jnp.int32)
+        for t in tans:
+            s = s + (ay >= ax * t).astype(jnp.int32)
+        qx = (gxw > 0.0) | ((gxw == 0.0) & (gyw < 0.0))
+        qy = (gyw > 0.0) | ((gyw == 0.0) & qx)
+        bins = jnp.where(
+            qy,
+            jnp.where(qx, s, (2 * nq - 1) - s),
+            jnp.where(qx, (4 * nq - 1) - s, 2 * nq + s),
+        )
+        parts = [
+            jnp.sum(jnp.where(bins == b, wm, 0.0), axis=1) for b in range(nb)
+        ]                                              # each [BLK2, 128]
+        st = jnp.stack(parts, axis=1)                  # [BLK2, nb, 128]
+        lane2 = jax.lax.broadcasted_iota(jnp.int32, (BLK2, nb, 128), 2)
+        # where-selects (not mask multiplies): an invalid keypoint's stale
+        # window can hold non-finite garbage, and NaN * 0 would leak into
+        # its pair partner through a masked multiply
+        ha = jnp.sum(jnp.where(lane2 < 64, st, 0.0), axis=2)
+        hb = jnp.sum(jnp.where(lane2 >= 64, st, 0.0), axis=2)
+        return jnp.stack([ha, hb], axis=1).reshape(BLK, nb)
+
     def hist_fn():
         if narrow:
-            return batched_hist()
+            return packed_hist() if packed else batched_hist()
         return jnp.concatenate([one_hist(k) for k in range(BLK)], axis=0)
 
     # whole-block skip: blocks with no valid keypoint (common tail of the
@@ -327,7 +417,7 @@ def _kernel(
         _compute_block(
             cur_ref, flt_ref, y0g, w_true, global_h, sm_ref,
             misc_ref, sgx_ref, sgy_ref,
-            (nwin if narrow else wxy), a_scr, b_scr, slot, hist_fn,
+            (nwin if narrow else wxy), b_scr, slot, hist_fn,
             win_y=win_y, nx=nx, nb=nb, nori=nori, G=G, narrow=narrow,
             peak_ratio=peak_ratio, spacing=spacing, spc_cell=spc_cell,
         )
@@ -335,7 +425,7 @@ def _kernel(
 
 def _compute_block(
     cur_ref, flt_ref, y0g, w_true, global_h, sm_ref,
-    misc_ref, sgx_ref, sgy_ref, win_view, a_scr, b_scr, slot, hist_fn,
+    misc_ref, sgx_ref, sgy_ref, win_view, b_scr, slot, hist_fn,
     *, win_y, nx, nb, nori, G, narrow, peak_ratio, spacing, spc_cell,
 ):
     G2 = G * G
@@ -402,7 +492,8 @@ def _compute_block(
     # [BLK, WIN_Y, 2*nx]: compact per-keypoint windows (narrow) or the
     # current DMA slot of the aligned windows
     wb = (win_view[:] if narrow else win_view[slot]).astype(jnp.bfloat16)
-    for o in range(nori):
+
+    def sample_ori(o):
         th = _vec3([theta[k, o] for k in range(BLK)], jnp.float32)
         ct = jnp.cos(th)
         st = jnp.sin(th)
@@ -413,24 +504,47 @@ def _compute_block(
             & (py + y0g >= 0.0)
             & (py + y0g <= (global_h - 1).astype(jnp.float32))
         ).astype(jnp.float32)
-        a_scr[:, :, :] = jnp.maximum(
-            1.0 - jnp.abs((py - wy0f) - rows_d[None]), 0.0
-        ).astype(jnp.bfloat16)
-        b_scr[:, :, :] = jnp.maximum(
+        # column tents (bf16, MXU lhs); row tents stay a VPU-side f32 temp.
+        # Contract the COLUMN axis on the MXU first (u = B @ W^T), then the
+        # row-tent reduction runs over win_y (< nx) lanes on the VPU — the
+        # old order (rows on MXU, dense column reduce on VPU over 2*nx
+        # lanes) was VPU-bound here.
+        b_scr[:, :, :] = (jnp.maximum(
             1.0 - jnp.abs((px - cbf) - cols_d[None]), 0.0
-        ) * inb
-        t = jax.lax.dot_general(
-            a_scr[:, :, :], wb,
-            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        ) * inb).astype(jnp.bfloat16)
+        a_t = jnp.maximum(1.0 - jnp.abs((py - wy0f) - rows_d[None]), 0.0)
+        dn = (((2,), (2,)), ((0,), (0,)))
+        u_x = jax.lax.dot_general(
+            b_scr[:, :, :], wb[:, :, :nx], dimension_numbers=dn,
             preferred_element_type=jnp.float32,
-        )                                                # [BLK, G2, 2*nx]
-        Bm = b_scr[:, :, :]
+        )                                                # [BLK, G2, win_y]
+        u_y = jax.lax.dot_general(
+            b_scr[:, :, :], wb[:, :, nx:], dimension_numbers=dn,
+            preferred_element_type=jnp.float32,
+        )
         sgx_ref[:, o * G2 : (o + 1) * G2] = jnp.sum(
-            t[:, :, :nx] * Bm, axis=2, dtype=jnp.float32
+            u_x * a_t, axis=2, dtype=jnp.float32
         )
         sgy_ref[:, o * G2 : (o + 1) * G2] = jnp.sum(
-            t[:, :, nx:] * Bm, axis=2, dtype=jnp.float32
+            u_y * a_t, axis=2, dtype=jnp.float32
         )
+
+    sample_ori(0)
+    for o in range(1, nori):
+        # descriptor slots for orientation o >= 1 are consumed only where a
+        # histogram peak exists (fused.py masks by haspk); skip the whole
+        # pass when no keypoint in the block has an o-th peak (~75-85% of
+        # blocks at the default peak ratio)
+        any_o = jnp.max(haspks[o])
+
+        @pl.when(any_o > 0.0)
+        def _(o=o):
+            sample_ori(o)
+
+        @pl.when(any_o <= 0.0)
+        def _(o=o):
+            sgx_ref[:, o * G2 : (o + 1) * G2] = jnp.zeros((BLK, G2), jnp.float32)
+            sgy_ref[:, o * G2 : (o + 1) * G2] = jnp.zeros((BLK, G2), jnp.float32)
 
 
 @functools.partial(
@@ -484,10 +598,13 @@ def _orient_sample_impl(
 
     nbk = Np // BLK
     ints = jnp.stack(
-        [a.reshape(nbk, BLK) for a in (plane, wy0, wx0, ro, sy, sx, valid, co)],
+        [
+            a.reshape(nbk, BLK)
+            for a in (plane, wy0, wx0, ro, sy, sx, valid, co, ix)
+        ],
         axis=1,
-    )                                                    # [nbk, 8, BLK]
-    nxt = jnp.concatenate([ints[1:], jnp.zeros((1, 8, BLK), ints.dtype)])
+    )                                                    # [nbk, 9, BLK]
+    nxt = jnp.concatenate([ints[1:], jnp.zeros((1, 9, BLK), ints.dtype)])
     flts = jnp.stack(
         [a.reshape(nbk, BLK).astype(jnp.float32) for a in (ky, kx, sigma)], axis=1
     )                                                    # [nbk, 3, BLK]
@@ -496,15 +613,16 @@ def _orient_sample_impl(
         [jnp.asarray(a, jnp.int32).reshape(()) for a in (y0g, w_true, global_h)]
     ).reshape(1, 3)
 
+    packed = narrow and (R + 1 <= 31) and BLK % 2 == 0
     kern = functools.partial(
         _kernel,
         win_y=win_y, win_x=win_x, win_o=win_o, ori_span=ori_span, nb=nb,
         nori=nori, G=G, peak_ratio=peak_ratio, sig_f=sig_f, rad_f=rad_f,
-        spacing=spacing, spc_cell=spc_cell, narrow=narrow,
+        spacing=spacing, spc_cell=spc_cell, narrow=narrow, packed=packed,
     )
     in_specs = [
-        pl.BlockSpec((1, 8, BLK), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, 8, BLK), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 9, BLK), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 9, BLK), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
         pl.BlockSpec((1, 3, BLK), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
         pl.BlockSpec((1, 3), lambda i: (0, 0), memory_space=pltpu.SMEM),
         pl.BlockSpec((nb, 3 * nb), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -528,14 +646,15 @@ def _orient_sample_impl(
         ],
         scratch_shapes=[
             pltpu.VMEM((2, BLK, win_y, 2 * win_x), jnp.float32),
-            pltpu.VMEM((BLK, G2, win_y), jnp.bfloat16),
-            pltpu.VMEM((BLK, G2, 128 if narrow else win_x), jnp.float32),
+            pltpu.VMEM((BLK, G2, 128 if narrow else win_x), jnp.bfloat16),
             pltpu.SemaphoreType.DMA((2, 2 * BLK)),
         ]
         + (
             [
                 pltpu.VMEM((BLK, win_y, 256), jnp.float32),
-                pltpu.VMEM((BLK, ori_span, 256), jnp.float32),
+                pltpu.VMEM(
+                    (BLK // 2 if packed else BLK, ori_span, 256), jnp.float32
+                ),
             ]
             if narrow
             else []
