@@ -272,18 +272,35 @@ def run_slam(frames, intr, cfg, mcfg, scfg: SlamConfig,
 
         Per frame: ONE fused extract+dual-match dispatch (`_track_step_jit`)
         followed by ONE batched host transfer of everything the bookkeeping
-        needs — not per-array syncs (VERDICT r1 weak #1)."""
+        needs — not per-array syncs (VERDICT r1 weak #1).
+
+        Pipeline-parallel overlap (the extract(t+1) || match/PnP(t) analog,
+        SURVEY §2.3 PP row ⚠ `MultiThreadSIFT`/server overlap): frame t+1's
+        fused dispatch is enqueued speculatively against the CURRENT
+        keyframes before frame t's results are pulled, so the device
+        extracts t+1 while the host runs PnP/bookkeeping for t.  The
+        speculation is invalidated (and t+1 re-dispatched) only when frame t
+        inserts a new keyframe — outputs are bit-identical to the
+        sequential loop."""
         vel = np.zeros(6, np.float32)
         t = t0
+        pending = None  # (frame, dispatched-against keyframes, results)
         while t < T:
             kf = keyframes[-1]
             live = keyframes[-2:][::-1]       # [-1] first, then [-2]
             d_kf = jnp.stack([k.feats.desc[0] for k in live])
             m_kf = jnp.stack([k.feats.mask[0] for k in live])
             if features is None:
-                ft, pairs_dev, counts_dev = _track_step_jit(
-                    jnp.asarray(frames[t]), d_kf, m_kf, cfg, mcfg
-                )
+                if pending is not None and pending[0] == t:
+                    ft, pairs_dev, counts_dev = pending[1]
+                else:
+                    ft, pairs_dev, counts_dev = _track_step_jit(
+                        jnp.asarray(frames[t]), d_kf, m_kf, cfg, mcfg
+                    )
+                if t + 1 < T:
+                    pending = (t + 1, _track_step_jit(
+                        jnp.asarray(frames[t + 1]), d_kf, m_kf, cfg, mcfg
+                    ))
                 # one host pull of pairs/counts/coords/mask (desc stays on device)
                 pairs_np, counts_np, kx, ky, km = jax.device_get(
                     (pairs_dev, counts_dev, ft.x[0], ft.y[0], ft.mask[0])
@@ -357,6 +374,7 @@ def run_slam(frames, intr, cfg, mcfg, scfg: SlamConfig,
                     unmapped = unmapped[keep]
                 add_keyframe(t, ft, kpt, pose_t, mapped_pairs=mapped,
                              prev_kf=kf, tri_pairs=unmapped)
+                pending = None  # speculative t+1 matched stale keyframes
                 metrics.event("keyframe", frame=t, n_kf=len(keyframes),
                               map_pts=map_n)
                 windowed_ba()
