@@ -47,7 +47,7 @@ def main():
     mask = jnp.asarray(np.arange(N) < int(N * vf))
 
     fn = jax.jit(
-        lambda *a: kp_engine.orient_sample(*a, cfg)
+        lambda *a: kp_engine.orient_sample(*a[:6], cfg, mask=a[6])
     )
     out = fn(gx, gy, plane, ky, kx, sigma, mask)
     np.asarray(out[0].ravel()[0:1])

@@ -175,10 +175,15 @@ def assemble_features(parts, cfg: SiftConfig) -> Features:
         m = jnp.pad(m, ((0, 0), (0, pad)), constant_values=False)
         d = jnp.pad(d, ((0, 0), (0, pad), (0, 0)))
     resp = jnp.abs(r) if cfg.keep_sign else r
+    # octave bias for -tc1/-tc2: |response| <= 1 strictly (DoG of [0, 1]
+    # images), so 4.0 per octave keeps octaves totally ordered while the
+    # f32 ulp at the biased score (~6e-6 at 12 octaves) stays far below
+    # response resolution — a large bias (1e4) would quantize away the
+    # response tie-break within an octave
     if cfg.truncate_method == 1:    # -tc1: fine octaves first (small scale)
-        resp = resp - oc_.astype(resp.dtype) * 1e4
+        resp = resp - oc_.astype(resp.dtype) * 4.0
     elif cfg.truncate_method == 2:  # -tc2: coarse octaves first (large scale)
-        resp = resp + oc_.astype(resp.dtype) * 1e4
+        resp = resp + oc_.astype(resp.dtype) * 4.0
     score = jnp.where(m, resp, -jnp.inf)
     _, idx = jax.lax.top_k(score, K)
     take = lambda a: jnp.take_along_axis(a, idx, axis=1)

@@ -47,8 +47,17 @@ def _split_flags(args):
             known.append(a)
             i += 1
         elif base in _OPTIONAL_VALUED:
+            # same consume-iff-it-parses rule as core.flags.parse_flags
+            # (accepts negatives), so CLI and API agree on -m/-s values
             nxt = args[i + 1] if i + 1 < len(args) else None
-            if nxt is not None and not nxt.startswith("-") and nxt.isdigit():
+            consumed = False
+            if nxt is not None and "=" not in a:
+                try:
+                    int(nxt)
+                    consumed = True
+                except ValueError:
+                    pass
+            if consumed:
                 known += args[i : i + 2]
                 i += 2
             else:

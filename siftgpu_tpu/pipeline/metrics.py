@@ -25,6 +25,8 @@ import os
 import time
 from typing import IO, Optional
 
+import numpy as np
+
 __all__ = ["MetricsLogger", "host_index"]
 
 
@@ -62,8 +64,8 @@ class MetricsLogger:
         rec = {"t": time.time(), "host": self.host, "pid": os.getpid(),
                "event": kind}
         for k, v in fields.items():
-            if hasattr(v, "item"):       # numpy / 0-d jax scalars
-                v = v.item()
+            if hasattr(v, "item"):       # numpy / jax values
+                v = v.item() if np.ndim(v) == 0 else np.asarray(v).tolist()
             rec[k] = v
         self._f.write(json.dumps(rec) + "\n")
 

@@ -285,11 +285,17 @@ def run_slam(frames, intr, cfg, mcfg, scfg: SlamConfig,
         vel = np.zeros(6, np.float32)
         t = t0
         pending = None  # (frame, dispatched-against keyframes, results)
+        kf_stack = None  # (n_keyframes, d_kf, m_kf) — rebuilt on insertion
         while t < T:
             kf = keyframes[-1]
-            live = keyframes[-2:][::-1]       # [-1] first, then [-2]
-            d_kf = jnp.stack([k.feats.desc[0] for k in live])
-            m_kf = jnp.stack([k.feats.mask[0] for k in live])
+            if kf_stack is None or kf_stack[0] != len(keyframes):
+                live = keyframes[-2:][::-1]   # [-1] first, then [-2]
+                kf_stack = (
+                    len(keyframes),
+                    jnp.stack([k.feats.desc[0] for k in live]),
+                    jnp.stack([k.feats.mask[0] for k in live]),
+                )
+            _, d_kf, m_kf = kf_stack
             if features is None:
                 if pending is not None and pending[0] == t:
                     ft, pairs_dev, counts_dev = pending[1]

@@ -82,10 +82,13 @@ def draw_matches(
     off = a.shape[1]
 
     def xy(kp, idx):
+        if isinstance(kp, (tuple, list)) and len(kp) == 2:
+            xs, ys = kp                  # (x, y) array pair
+            return np.asarray(xs)[idx], np.asarray(ys)[idx]
         kp = np.asarray(kp)
         if kp.ndim == 2:
             return kp[idx, 0], kp[idx, 1]
-        raise ValueError("kp must be [K, >=2] (x, y, ...)")
+        raise ValueError("kp must be (x, y) arrays or [K, >=2] (x, y, ...)")
 
     pairs = np.asarray(pairs)
     if max_lines and len(pairs) > max_lines:
