@@ -11,9 +11,9 @@ count back to the host; here there are NO host syncs and NO dynamic shapes:
      fixed-capacity buffer (deterministic: score desc, flat index asc —
      SURVEY §7.4 item 1), winner pixel recovered from the block corner index
      packed in the score's low mantissa bits;
-  3. ONE packed `take_along_axis` pulls all 27 DoG neighbors of every
-     survivor — merged across ALL octaves by `detect_pyramid` (gather cost
-     on this platform is per-call, not per-element);
+  3. ONE packed `take_along_axis` pulls the 19 DoG patch cells the solve
+     reads (cube corners unused) for every survivor — merged across ALL
+     octaves by `detect_pyramid`;
   4. vectorized closed-form (Cramer) 3x3 solve for subpixel offsets, final
      contrast + border tests folded into the validity mask.
 
@@ -240,40 +240,54 @@ def detect_winners(
     return OctaveWinners(py=py, px=px, l=l, cand=cand)
 
 
+# 3x3x3 patch cells the Cramer solve actually reads: the gradient and the
+# symmetric Hessian only touch the center, the 6 faces, and the 12 edges —
+# the 8 cube corners (dl, dy, dx all nonzero) never appear, so gathering
+# them would waste ~30% of the dominant per-element gather cost (measured
+# ~15 ns/elem on v5e regardless of locality).
+_PATCH_OFFSETS = [
+    (dl, dy, dx)
+    for dl in (-1, 0, 1) for dy in (-1, 0, 1) for dx in (-1, 0, 1)
+    if not (dl and dy and dx)
+]
+N_PATCH = len(_PATCH_OFFSETS)  # 19
+
+
 def patch_indices(win: OctaveWinners, H: int, W: int) -> jax.Array:
-    """[B, 27*cap] flat DoG-volume indices of the 3x3x3 patch per winner
-    (layout [dl, dy, dx, cap]; l is 1-based so l-1+dl stays in [0, S+1]).
-    Clamps keep padded-plane winners (masked by `cand`) in range."""
+    """[B, 19*cap] flat DoG-volume indices of the used 3x3x3 patch cells per
+    winner (layout [_PATCH_OFFSETS, cap]; l is 1-based so l-1+dl stays in
+    [0, S+1]).  Clamps keep padded-plane winners (masked by `cand`) in
+    range."""
     yc = jnp.clip(win.py, 1, H - 2)
     xc = jnp.clip(win.px, 1, W - 2)
     base = win.l * (H * W) + yc * W + xc             # [B, cap] center
-    offs = [
-        (dl * H + dy) * W + dx
-        for dl in (-1, 0, 1) for dy in (-1, 0, 1) for dx in (-1, 0, 1)
-    ]
+    offs = [(dl * H + dy) * W + dx for dl, dy, dx in _PATCH_OFFSETS]
     return jnp.concatenate([base + o for o in offs], axis=1)
 
 
 def refine_patches(
     p: jax.Array, win: OctaveWinners, cfg: SiftConfig, H: int, W: int
 ) -> OctaveKeypoints:
-    """p: [B, 3, 3, 3, cap] gathered DoG patches ([dl, dy, dx] order) ->
-    Cramer 3x3 subpixel solve + final contrast/border tests."""
+    """p: [B, N_PATCH, cap] gathered DoG patch cells (`_PATCH_OFFSETS`
+    order) -> Cramer 3x3 subpixel solve + final contrast/border tests."""
     S = cfg.dog_levels
     py, px, l, cand = win.py, win.px, win.l, win.cand
-    vc = p[:, 1, 1, 1]
 
+    def q(dl, dy, dx):
+        return p[:, _PATCH_OFFSETS.index((dl, dy, dx))]
+
+    vc = q(0, 0, 0)
     # gradient
-    gl = 0.5 * (p[:, 2, 1, 1] - p[:, 0, 1, 1])
-    gy = 0.5 * (p[:, 1, 2, 1] - p[:, 1, 0, 1])
-    gx = 0.5 * (p[:, 1, 1, 2] - p[:, 1, 1, 0])
+    gl = 0.5 * (q(1, 0, 0) - q(-1, 0, 0))
+    gy = 0.5 * (q(0, 1, 0) - q(0, -1, 0))
+    gx = 0.5 * (q(0, 0, 1) - q(0, 0, -1))
     # symmetric Hessian [[a,b,c],[b,d,e],[c,e,f]] in (l, y, x) order
-    a = p[:, 2, 1, 1] + p[:, 0, 1, 1] - 2 * vc
-    d = p[:, 1, 2, 1] + p[:, 1, 0, 1] - 2 * vc
-    f = p[:, 1, 1, 2] + p[:, 1, 1, 0] - 2 * vc
-    b_ = 0.25 * (p[:, 2, 2, 1] - p[:, 2, 0, 1] - p[:, 0, 2, 1] + p[:, 0, 0, 1])
-    c_ = 0.25 * (p[:, 2, 1, 2] - p[:, 2, 1, 0] - p[:, 0, 1, 2] + p[:, 0, 1, 0])
-    e_ = 0.25 * (p[:, 1, 2, 2] - p[:, 1, 2, 0] - p[:, 1, 0, 2] + p[:, 1, 0, 0])
+    a = q(1, 0, 0) + q(-1, 0, 0) - 2 * vc
+    d = q(0, 1, 0) + q(0, -1, 0) - 2 * vc
+    f = q(0, 0, 1) + q(0, 0, -1) - 2 * vc
+    b_ = 0.25 * (q(1, 1, 0) - q(1, -1, 0) - q(-1, 1, 0) + q(-1, -1, 0))
+    c_ = 0.25 * (q(1, 0, 1) - q(1, 0, -1) - q(-1, 0, 1) + q(-1, 0, -1))
+    e_ = 0.25 * (q(0, 1, 1) - q(0, 1, -1) - q(0, -1, 1) + q(0, -1, -1))
 
     if cfg.subpixel:
         detH = a * (d * f - e_ * e_) - b_ * (b_ * f - c_ * e_) + c_ * (b_ * e_ - c_ * d)
@@ -336,13 +350,13 @@ def detect_octave(
     B, L, H, W = dog.shape
     win = detect_winners(dog, cfg, cap, owned_rows, scores_impl)
     pidx = patch_indices(win, H, W)
-    # ONE packed gather: all 27 neighbors of all winners in a single
-    # take_along_axis — gather cost on this platform is per-CALL (~1 ms),
-    # not per-element (the vmapped dynamic_slice formulation this replaces
-    # cost 18 ms at 640x480)
+    # ONE packed gather: all used patch cells of all winners in a single
+    # take_along_axis (per-call dispatch cost ~1 ms, per-element ~15 ns —
+    # the vmapped dynamic_slice formulation this replaces cost 18 ms at
+    # 640x480)
     p = (
         jnp.take_along_axis(dog.reshape(B, L * H * W), pidx, axis=1)
-        .reshape(B, 3, 3, 3, -1)
+        .reshape(B, N_PATCH, -1)
         .astype(jnp.float32)
     )
     return refine_patches(p, win, cfg, H, W)
@@ -375,7 +389,7 @@ def detect_pyramid(
     outs, col = [], 0
     for oc, cap, win in zip(pyr, caps, wins):
         _, L, H, W = oc.dog.shape
-        p = pall[:, col : col + 27 * cap].reshape(B, 3, 3, 3, cap)
-        col += 27 * cap
+        p = pall[:, col : col + N_PATCH * cap].reshape(B, N_PATCH, cap)
+        col += N_PATCH * cap
         outs.append(refine_patches(p, win, cfg, H, W))
     return outs

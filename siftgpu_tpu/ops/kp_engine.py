@@ -48,8 +48,10 @@ __all__ = ["orient_sample", "window_geometry"]
 _TWO_PI = 6.283185307179586
 _NEG = -1e30
 # keypoints per grid step (env knob for benchmarking block-size tradeoffs:
-# larger BLK amortizes per-step overhead, costs VMEM)
-BLK = int(__import__("os").environ.get("SIFTGPU_KP_BLK", "8"))
+# larger BLK amortizes per-step overhead, costs VMEM).  Measured v5e, 8192
+# noise-gradient slots at 640x480: BLK=8 1119 ns/slot, 16 1041, 32 1016 —
+# 16 takes ~all the gain at half the scratch of 32.
+BLK = int(__import__("os").environ.get("SIFTGPU_KP_BLK", "16"))
 
 
 def _vec3(vals, dtype):
@@ -658,6 +660,11 @@ def _orient_sample_impl(
             ]
             if narrow
             else []
+        ),
+        # the double-buffered window scratch scales with BLK; the default
+        # 16M scoped-vmem limit caps BLK at 8, so raise it (v5e has headroom)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024
         ),
         interpret=interpret,
     )(ints, nxt, flts, y0g2, sm, gx, gy)
