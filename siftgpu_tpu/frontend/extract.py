@@ -175,11 +175,14 @@ def assemble_features(parts, cfg: SiftConfig) -> Features:
         m = jnp.pad(m, ((0, 0), (0, pad)), constant_values=False)
         d = jnp.pad(d, ((0, 0), (0, pad), (0, 0)))
     resp = jnp.abs(r) if cfg.keep_sign else r
-    # octave bias for -tc1/-tc2: |response| <= 1 strictly (DoG of [0, 1]
-    # images), so 4.0 per octave keeps octaves totally ordered while the
-    # f32 ulp at the biased score (~6e-6 at 12 octaves) stays far below
-    # response resolution — a large bias (1e4) would quantize away the
-    # response tie-break within an octave
+    # octave bias for -tc1/-tc2: the refined |response| is bounded by
+    # |vc| + 0.5*sum_i |g_i|*|off_i| <= 1 + 0.5*3*1*1.5 = 3.25 (DoG of
+    # [0, 1] images gives |vc| <= 1, |g_i| <= 1; refine_patches' off_ok
+    # clamp gives |off_i| <= 1.5 — widen that clamp and this bias must be
+    # re-derived).  4.0 > 3.25 keeps octaves totally ordered while the f32
+    # ulp at the biased score (~6e-6 at 12 octaves) stays far below response
+    # resolution — a large bias (1e4) would quantize away the response
+    # tie-break within an octave
     if cfg.truncate_method == 1:    # -tc1: fine octaves first (small scale)
         resp = resp - oc_.astype(resp.dtype) * 4.0
     elif cfg.truncate_method == 2:  # -tc2: coarse octaves first (large scale)

@@ -51,7 +51,26 @@ _NEG = -1e30
 # larger BLK amortizes per-step overhead, costs VMEM).  Measured v5e, 8192
 # noise-gradient slots at 640x480: BLK=8 1119 ns/slot, 16 1041, 32 1016 —
 # 16 takes ~all the gain at half the scratch of 32.
-BLK = int(__import__("os").environ.get("SIFTGPU_KP_BLK", "16"))
+def _read_blk() -> int:
+    import os
+
+    raw = os.environ.get("SIFTGPU_KP_BLK", "16")
+    try:
+        v = int(raw)
+    except ValueError:
+        raise ValueError(f"SIFTGPU_KP_BLK={raw!r}: must be an integer") from None
+    # must be a small positive even value: odd disables the pair-packed
+    # histogram path, <=0 breaks the Np//BLK grid math, large blows the
+    # 96 MB scoped-vmem limit at compile time
+    if v not in (2, 4, 8, 16, 32):
+        raise ValueError(
+            f"SIFTGPU_KP_BLK={v}: expected one of 2/4/8/16/32 "
+            "(even, and bounded by the kernel's VMEM scratch budget)"
+        )
+    return v
+
+
+BLK = _read_blk()
 
 
 def _vec3(vals, dtype):
@@ -698,10 +717,16 @@ def orient_sample(
     margin, win_y, _win_x, win_o, ori_span = window_geometry(cfg)
     if mask is None:
         mask = jnp.ones(plane.shape, bool)
+    # clamp sigma to the geometry bound the window/packing math was derived
+    # from: the pair-packed histogram path is only collision-free while
+    # rad_f*sig_f*sigma <= orient_window_radius (contributions within
+    # +-(R+1) <= 31 lanes of the keypoint); a caller-supplied sigma beyond
+    # max_detect_sigma would silently cross-contaminate paired keypoints
+    sigma = jnp.minimum(sigma.astype(jnp.float32), cfg.max_detect_sigma)
     return _orient_sample_impl(
         gx, gy, plane.astype(jnp.int32),
         ky.astype(jnp.float32), kx.astype(jnp.float32),
-        sigma.astype(jnp.float32), mask.astype(jnp.int32),
+        sigma, mask.astype(jnp.int32),
         jnp.zeros((), jnp.int32) if y0g is None else y0g,
         jnp.asarray(Wimg if w_true is None else w_true, jnp.int32),
         jnp.asarray(H if global_h is None else global_h, jnp.int32),

@@ -284,12 +284,14 @@ def run_slam(frames, intr, cfg, mcfg, scfg: SlamConfig,
         sequential loop."""
         vel = np.zeros(6, np.float32)
         t = t0
-        pending = None  # (frame, dispatched-against keyframes, results)
+        pending = None  # (frame, results) — dispatched against current kf_stack
         kf_stack = None  # (n_keyframes, d_kf, m_kf) — rebuilt on insertion
         while t < T:
             kf = keyframes[-1]
+            # recomputed unconditionally (cheap) so the pairs2-widening step
+            # below never depends on the kf_stack rebuild having fired
+            live = keyframes[-2:][::-1]       # [-1] first, then [-2]
             if kf_stack is None or kf_stack[0] != len(keyframes):
-                live = keyframes[-2:][::-1]   # [-1] first, then [-2]
                 kf_stack = (
                     len(keyframes),
                     jnp.stack([k.feats.desc[0] for k in live]),
