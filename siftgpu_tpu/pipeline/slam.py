@@ -94,6 +94,9 @@ class SlamResult:
     map_mask: np.ndarray    # [M]
     num_tracked: List[int]  # PnP inliers per frame
     keyframes: Optional[List["Keyframe"]] = None  # host keyframe objects
+    # constant-velocity tracker state at the end of the run — checkpointed so
+    # a resumed run replays the uninterrupted one exactly (SURVEY §5.4)
+    vel: Optional[np.ndarray] = None
 
 
 def _host_kp(feats):
@@ -153,6 +156,7 @@ def run_slam(frames, intr, cfg, mcfg, scfg: SlamConfig,
     keyframes: List[Keyframe] = []
     traj = np.zeros((T, 6), np.float32)
     tracked: List[int] = []
+    vel = np.zeros(6, np.float32)  # constant-velocity tracker state
 
     def extract(t):
         if features is not None:
@@ -282,7 +286,7 @@ def run_slam(frames, intr, cfg, mcfg, scfg: SlamConfig,
         speculation is invalidated (and t+1 re-dispatched) only when frame t
         inserts a new keyframe — outputs are bit-identical to the
         sequential loop."""
-        vel = np.zeros(6, np.float32)
+        nonlocal vel
         t = t0
         pending = None  # (frame, results) — dispatched against current kf_stack
         kf_stack = None  # (n_keyframes, d_kf, m_kf) — rebuilt on insertion
@@ -392,7 +396,7 @@ def run_slam(frames, intr, cfg, mcfg, scfg: SlamConfig,
 
                     _ckpt.save_slam_state(
                         checkpoint_path, _result(t), next_frame=t + 1,
-                        keyframes=keyframes,
+                        keyframes=keyframes, kf_window=scfg.kf_window,
                     )
                     metrics.event("checkpoint", frame=t)
             t += 1
@@ -404,10 +408,14 @@ def run_slam(frames, intr, cfg, mcfg, scfg: SlamConfig,
             keyframe_indices=[k.frame_idx for k in keyframes],
             map_points=map_X, map_mask=map_mask,
             num_tracked=tracked, keyframes=keyframes,
+            vel=vel.copy(),
         )
 
     if resume is not None:
-        # restore map + trajectory prefix + last keyframe, skip bootstrap
+        # restore map + trajectory prefix + the full windowed-BA keyframe
+        # context (+ tracker velocity), skip bootstrap.  With a round-3
+        # checkpoint the resumed run replays the uninterrupted run EXACTLY;
+        # legacy (single-keyframe) checkpoints restore a reduced window.
         import types
 
         d = resume.data
@@ -418,18 +426,50 @@ def run_slam(frames, intr, cfg, mcfg, scfg: SlamConfig,
         map_X[:] = d["map_points"]
         map_mask[:] = d["map_mask"]
         map_n = int(map_mask.sum())
-        feats_shim = types.SimpleNamespace(
-            desc=jnp.asarray(d["kf_desc"])[None],
-            mask=jnp.asarray(d["kf_mask"])[None],
-        )
-        kf = Keyframe(
-            frame_idx=int(d["kf_frame_idx"]), pose=d["kf_pose"].copy(),
-            feats=feats_shim,
-            kp=dict(x=d["kf_x"], y=d["kf_y"],
-                    desc=jnp.asarray(d["kf_desc"]), mask=d["kf_mask"]),
-            pt_ids=d["kf_pt_ids"].copy(),
-        )
-        keyframes.append(kf)
+        if "vel" in d:
+            vel = np.asarray(d["vel"], np.float32).copy()
+
+        if "kfw_frame_idx" in d:
+            win_idx = [int(i) for i in d["kfw_frame_idx"]]
+            # retired keyframes (older than the window): stubs carrying only
+            # identity + pose — nothing downstream reads their keypoints
+            for fi in [int(i) for i in d["keyframe_indices"]]:
+                if fi not in win_idx:
+                    keyframes.append(Keyframe(
+                        frame_idx=fi, pose=traj[fi].copy(), feats=None,
+                        kp=dict(desc=None), pt_ids=np.zeros(0, np.int64),
+                    ))
+            n_desc = int(d.get("kfw_n_desc", 2))
+            nw = len(win_idx)
+            for i, fi in enumerate(win_idx):
+                di = i - (nw - n_desc)   # index into kfw_desc for live KFs
+                desc = jnp.asarray(d["kfw_desc"][di]) if di >= 0 else None
+                feats_shim = (
+                    types.SimpleNamespace(
+                        desc=desc[None],
+                        mask=jnp.asarray(d["kfw_mask"][i])[None],
+                    )
+                    if desc is not None else None
+                )
+                keyframes.append(Keyframe(
+                    frame_idx=fi, pose=d["kfw_pose"][i].copy(),
+                    feats=feats_shim,
+                    kp=dict(x=d["kfw_x"][i], y=d["kfw_y"][i],
+                            desc=desc, mask=d["kfw_mask"][i]),
+                    pt_ids=d["kfw_pt_ids"][i].copy(),
+                ))
+        else:  # legacy round-2 single-keyframe checkpoint
+            feats_shim = types.SimpleNamespace(
+                desc=jnp.asarray(d["kf_desc"])[None],
+                mask=jnp.asarray(d["kf_mask"])[None],
+            )
+            keyframes.append(Keyframe(
+                frame_idx=int(d["kf_frame_idx"]), pose=d["kf_pose"].copy(),
+                feats=feats_shim,
+                kp=dict(x=d["kf_x"], y=d["kf_y"],
+                        desc=jnp.asarray(d["kf_desc"]), mask=d["kf_mask"]),
+                pt_ids=d["kf_pt_ids"].copy(),
+            ))
         return _result(track_loop(n0, traj[n0 - 1].copy()))
 
     # ---------------- bootstrap ----------------

@@ -37,15 +37,26 @@ def test_slam_resume_from_checkpoint(tmp_path):
 
     resumed = slam.run_slam(frames, intr, cfg, mcfg, scfg, resume=ck)
 
-    # resumed trajectory must stay close to the uninterrupted run
-    cf = align.camera_centers(full.trajectory)
+    # the checkpoint carries the FULL windowed-BA context (window keyframes,
+    # live descriptors, tracker velocity), so the resumed run must REPLAY the
+    # uninterrupted run exactly — trajectory equality, not just an ATE bound
+    assert resumed.keyframe_indices == full.keyframe_indices
+    np.testing.assert_allclose(
+        resumed.trajectory, full.trajectory, atol=1e-4,
+        err_msg="resumed run diverged from the uninterrupted run",
+    )
+    np.testing.assert_array_equal(resumed.map_mask, full.map_mask)
+    assert resumed.num_tracked == full.num_tracked
+
+    # and it still hits the absolute accuracy bar
     cr = align.camera_centers(resumed.trajectory)
     gtc = align.camera_centers(gt)
-    rmse_full, _ = align.ate_rmse(cf, gtc)
     rmse_res, _ = align.ate_rmse(cr, gtc)
     span = np.linalg.norm(gtc[-1] - gtc[0])
-    assert rmse_res < 0.06 * span, (rmse_res, rmse_full, span)
-    # prefix is restored verbatim
+    assert rmse_res < 0.06 * span, (rmse_res, span)
+    # non-keyframe prefix rows are restored verbatim (keyframe rows are
+    # retroactively refined by post-resume windowed BA, same as the full run)
+    non_kf = [t for t in range(Tc - 1) if t not in full.keyframe_indices]
     np.testing.assert_allclose(
-        resumed.trajectory[: Tc - 1], part.trajectory[: Tc - 1], atol=1e-6
+        resumed.trajectory[non_kf], part.trajectory[non_kf], atol=1e-6
     )
