@@ -125,6 +125,34 @@ def compose(Ra, ta, Rb, tb):
     return Ra @ Rb, (Ra @ tb[..., None])[..., 0] + ta
 
 
+# ---------------- Sim(3) (monocular loop closure / pose graph) ----------
+# A Sim(3) element (s, R, t) acts as x -> s R x + t.  Monocular SLAM's
+# scale is unobservable and DRIFTS along the trajectory; loop-closure
+# correction must therefore optimize per-keyframe scale too (the classic
+# monocular pose-graph formulation), or the graph cannot absorb the
+# dominant error mode.  Elements are passed as (s [...], R [..., 3, 3],
+# t [..., 3]); all ops batch.
+
+def compose_sim3(sa, Ra, ta, sb, Rb, tb):
+    """(sa, Ra, ta) o (sb, Rb, tb): x -> sa Ra (sb Rb x + tb) + ta."""
+    return (
+        sa * sb,
+        Ra @ Rb,
+        sa[..., None] * (Ra @ tb[..., None])[..., 0] + ta,
+    )
+
+
+def inverse_sim3(s, R, t):
+    Rt = jnp.swapaxes(R, -1, -2)
+    si = 1.0 / s
+    return si, Rt, -si[..., None] * (Rt @ t[..., None])[..., 0]
+
+
+def relative_sim3(si, Ri, ti, sj, Rj, tj):
+    """S_ij = S_j o S_i^-1 (maps cam_i coordinates to cam_j)."""
+    return compose_sim3(sj, Rj, tj, *inverse_sim3(si, Ri, ti))
+
+
 def inverse(R, t):
     Rt = jnp.swapaxes(R, -1, -2)
     return Rt, -(Rt @ t[..., None])[..., 0]

@@ -18,7 +18,10 @@ import jax.numpy as jnp
 
 from ..geometry import pose as P
 
-__all__ = ["PoseGraph", "optimize_pose_graph"]
+__all__ = [
+    "PoseGraph", "optimize_pose_graph",
+    "Sim3PoseGraph", "optimize_pose_graph_sim3", "sim7_to_srt", "srt_to_sim7",
+]
 
 
 class PoseGraph(NamedTuple):
@@ -108,3 +111,110 @@ def optimize_pose_graph(
 optimize_pose_graph_jit = partial(jax.jit, static_argnums=(1, 3, 4))(
     optimize_pose_graph
 )
+
+
+# ---------------- Sim(3) pose graph (monocular loop closure) ----------------
+# Monocular scale drifts along the trajectory; an SE(3) graph cannot absorb
+# that error mode, so loop correction optimizes per-keyframe SCALE too (the
+# classic monocular formulation — 7-DoF states, 7-dim edge residuals).
+#
+# Chart convention: a Sim(3) measurement / perturbation is a 7-vector
+# [omega(3), t(3), lambda(1)] mapped DIRECTLY to (s, R, t) =
+# (e^lambda, exp_so3(omega), t) — a first-order-equivalent chart of the true
+# sim(3) exponential (no W-matrix): residuals are zero iff the transforms
+# agree, which is all GN needs.  `sim7_to_srt` / `srt_to_sim7` define it.
+
+
+class Sim3PoseGraph(NamedTuple):
+    poses: jax.Array    # [M, 7] chart coords (world->cam, s x -> s R x + t)
+    edge_i: jax.Array   # [E] int32
+    edge_j: jax.Array   # [E] int32
+    t_meas: jax.Array   # [E, 7] measured relative transforms S_ij (chart)
+    weight: jax.Array   # [E] scalar information (0 masks the edge)
+
+
+def sim7_to_srt(v):
+    """[..., 7] chart vector -> (s, R, t)."""
+    return jnp.exp(v[..., 6]), P.exp_so3(v[..., :3]), v[..., 3:6]
+
+
+def srt_to_sim7(s, R, t):
+    return jnp.concatenate(
+        [P.log_so3(R), t, jnp.log(s)[..., None]], axis=-1
+    )
+
+
+def _sim3_edge_residual_local(di, dj, si, Ri, ti, sj, Rj, tj, sm, Rm, tm):
+    """7-dim residual under LOCAL left perturbations (evaluated at d = 0)."""
+    S_i = P.compose_sim3(*sim7_to_srt(di), si, Ri, ti)
+    S_j = P.compose_sim3(*sim7_to_srt(dj), sj, Rj, tj)
+    S_rel = P.relative_sim3(*S_i, *S_j)
+    s_e, R_e, t_e = P.compose_sim3(*P.inverse_sim3(sm, Rm, tm), *S_rel)
+    return srt_to_sim7(s_e, R_e, t_e)
+
+
+def optimize_pose_graph_sim3(
+    g: Sim3PoseGraph, iters: int = 10, lam: float = 1e-5,
+    fix_first: bool = True, psum_axis: Optional[str] = None,
+) -> Sim3PoseGraph:
+    """Gauss-Newton over (pose, scale) per node; same structure as the SE(3)
+    optimizer (dense normal equations, optional edge-sharded psum)."""
+    M = g.poses.shape[0]
+    D = 7
+
+    def allred(x):
+        return jax.lax.psum(x, psum_axis) if psum_axis else x
+
+    sm_all, Rm_all, tm_all = sim7_to_srt(g.t_meas)
+    zero7 = jnp.zeros(D)
+
+    def step(carry, _):
+        s_all, R_all, t_all = carry
+
+        def per_edge(i, j, sm, Rm, tm, w):
+            args = (s_all[i], R_all[i], t_all[i],
+                    s_all[j], R_all[j], t_all[j], sm, Rm, tm)
+            r = _sim3_edge_residual_local(zero7, zero7, *args)
+            Ji = jax.jacfwd(_sim3_edge_residual_local, argnums=0)(
+                zero7, zero7, *args)
+            Jj = jax.jacfwd(_sim3_edge_residual_local, argnums=1)(
+                zero7, zero7, *args)
+            sw = jnp.sqrt(w)
+            return r * sw, Ji * sw, Jj * sw
+
+        r, Ji, Jj = jax.vmap(per_edge)(
+            g.edge_i, g.edge_j, sm_all, Rm_all, tm_all, g.weight
+        )
+
+        H = jnp.zeros((M, D, M, D))
+        b = jnp.zeros((M, D))
+        ii = jnp.einsum("eab,eac->ebc", Ji, Ji)
+        jj = jnp.einsum("eab,eac->ebc", Jj, Jj)
+        ij = jnp.einsum("eab,eac->ebc", Ji, Jj)
+        H = H.at[g.edge_i, :, g.edge_i, :].add(ii)
+        H = H.at[g.edge_j, :, g.edge_j, :].add(jj)
+        H = H.at[g.edge_i, :, g.edge_j, :].add(ij)
+        H = H.at[g.edge_j, :, g.edge_i, :].add(jnp.swapaxes(ij, -1, -2))
+        b = b.at[g.edge_i].add(-jnp.einsum("eab,ea->eb", Ji, r))
+        b = b.at[g.edge_j].add(-jnp.einsum("eab,ea->eb", Jj, r))
+
+        H = allred(H)
+        b = allred(b)
+
+        Hf = H.reshape(D * M, D * M) + lam * jnp.eye(D * M)
+        bf = b.reshape(D * M)
+        if fix_first:
+            # freeze node 0 (pose AND scale): gauge + global scale anchor
+            mask = jnp.arange(D * M) >= D
+            Hf = jnp.where(mask[:, None] & mask[None, :], Hf, 0.0)
+            Hf = Hf + jnp.diag(jnp.where(mask, 0.0, 1.0))
+            bf = jnp.where(mask, bf, 0.0)
+        dx = jnp.linalg.solve(Hf, bf).reshape(M, D)
+        s_new, R_new, t_new = P.compose_sim3(
+            *sim7_to_srt(dx), s_all, R_all, t_all
+        )
+        return (s_new, R_new, t_new), allred((r * r).sum())
+
+    s0, R0, t0 = sim7_to_srt(g.poses)
+    (sf, Rf, tf), costs = jax.lax.scan(step, (s0, R0, t0), None, length=iters)
+    return g._replace(poses=srt_to_sim7(sf, Rf, tf)), costs

@@ -122,6 +122,17 @@ def two_plane_sequence(n_frames, h, w, intr, rvec_step, t_step,
     for the SLAM loop's ATE metric (SURVEY §4.4).
     Returns (frames [T, h, w], poses_gt [T, 6] world->cam twists).
     """
+    rvs = np.outer(np.arange(n_frames), np.asarray(rvec_step, np.float64))
+    tvs = np.outer(np.arange(n_frames), np.asarray(t_step, np.float64))
+    return two_plane_sequence_poses(rvs, tvs, h, w, intr,
+                                    d_near=d_near, d_far=d_far, seed=seed)
+
+
+def two_plane_sequence_poses(rvecs, tvecs, h, w, intr,
+                             d_near=5.0, d_far=10.0, seed=0):
+    """`two_plane_sequence` with EXPLICIT per-frame poses (rvecs/tvecs
+    [T, 3]) — e.g. a loop trajectory that returns to its start, the
+    loop-closure test scene.  Returns (frames [T, h, w], poses_gt [T, 6])."""
     import jax.numpy as jnp
 
     from ..geometry.pose import exp_so3, log_se3
@@ -138,9 +149,7 @@ def two_plane_sequence(n_frames, h, w, intr, rvec_step, t_step,
     near0 = np.where(~top, tex_near, 0.0).astype(np.float32)
 
     frames, poses = [], []
-    for k in range(n_frames):
-        rv = np.asarray(rvec_step, np.float64) * k
-        tv = np.asarray(t_step, np.float64) * k
+    for rv, tv in zip(np.asarray(rvecs, np.float64), np.asarray(tvecs, np.float64)):
         R = np.asarray(exp_so3(jnp.asarray(rv)))
         w_far, _ = warp_homography(far0, K @ (R + np.outer(tv, n) / d_far) @ Kinv)
         w_near, _ = warp_homography(near0, K @ (R + np.outer(tv, n) / d_near) @ Kinv)

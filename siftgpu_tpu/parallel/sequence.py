@@ -137,19 +137,35 @@ def make_distributed_ba(mesh: Mesh):
     return run
 
 
-def _pose_graph_refine(result, mesh: Mesh, iters: int = 8):
-    """Distributed pose-graph polish over the keyframe chain (config 5's
-    second half): edges = consecutive + skip-1 keyframe relative poses
-    measured at the BA optimum, sharded over the mesh.  At a consistent
-    optimum the residuals are ~0, so this is drift-redistribution plumbing —
-    it leaves a converged trajectory unchanged."""
+def _pose_graph_refine(result, mesh: Mesh, iters: int = 10,
+                       loop_weight: float = 8.0):
+    """Distributed Sim(3) pose-graph refinement over the keyframe chain
+    (config 5's second half), edges sharded over the mesh.
+
+    Monocular drift is dominated by SCALE drift, so the graph optimizes
+    7-DoF (pose + scale) per keyframe — the classic monocular loop-closure
+    formulation.  Edges: (a) odometry — consecutive + skip-1 keyframe
+    relative poses measured at the windowed-BA optimum with relative scale 1
+    (they hold the chain's local shape); (b) LOOP CLOSURES — measured
+    relative Sim(3) transforms from `run_slam`'s revisit detection
+    (`SlamResult.loop_edges`: 3D-3D similarity registration of the revisit
+    pair's duplicated map points, which observes the accumulated relative
+    scale).  Without loops the odometry residuals are ~0 and a converged
+    trajectory is left unchanged.
+
+    The optimized (s, R, t) per keyframe folds back to SE(3) as
+    (R, t / s); corrections are propagated to the in-between frames by
+    re-anchoring each non-keyframe pose to its preceding keyframe
+    (T_t <- T_t . T_kf_old^-1 . T_kf_new)."""
     from ..geometry import pose as P
     from ..optim import pose_graph as pg
 
     kfs = result.keyframes
     if kfs is None or len(kfs) < 3:
         return result
-    poses = jnp.asarray(np.stack([k.pose for k in kfs]))
+    poses6 = jnp.asarray(np.stack([k.pose for k in kfs]))
+    R0, t0 = P.exp_se3(poses6)
+    poses = pg.srt_to_sim7(jnp.ones(len(kfs)), R0, t0)
     ei, ej = [], []
     for i in range(len(kfs) - 1):
         ei.append(i)
@@ -159,21 +175,54 @@ def _pose_graph_refine(result, mesh: Mesh, iters: int = 8):
             ej.append(i + 2)
     ei = jnp.asarray(ei, jnp.int32)
     ej = jnp.asarray(ej, jnp.int32)
-    Ri, ti = P.exp_se3(poses[ei])
-    Rj, tj = P.exp_se3(poses[ej])
-    Rr, tr = P.relative(Ri, ti, Rj, tj)
-    graph = pg.PoseGraph(
-        poses=poses, edge_i=ei, edge_j=ej,
-        t_meas=P.log_se3(Rr, tr), weight=jnp.ones(ei.shape[0]),
+    Rr, tr = P.relative(R0[ei], t0[ei], R0[ej], t0[ej])
+    t_meas = pg.srt_to_sim7(jnp.ones(ei.shape[0]), Rr, tr)
+    weight = jnp.ones(ei.shape[0])
+
+    loops = [e for e in (result.loop_edges or []) if e[1] < len(kfs)]
+    if loops:
+        ei = jnp.concatenate([ei, jnp.asarray([e[0] for e in loops], jnp.int32)])
+        ej = jnp.concatenate([ej, jnp.asarray([e[1] for e in loops], jnp.int32)])
+        t_meas = jnp.concatenate(
+            [t_meas, jnp.asarray(np.stack([e[2] for e in loops]), jnp.float32)]
+        )
+        # information-proportional edge weights: a loop verified by more PnP
+        # inliers is a better-conditioned measurement
+        weight = jnp.concatenate(
+            [weight, jnp.asarray(
+                [loop_weight * e[3] / 80.0 for e in loops], jnp.float32)]
+        )
+
+    graph = pg.Sim3PoseGraph(
+        poses=poses, edge_i=ei, edge_j=ej, t_meas=t_meas, weight=weight,
     )
     flat = Mesh(mesh.devices.reshape(-1), axis_names=("pg",))
-    out, _ = dist_pose_graph.optimize_pose_graph_distributed(
+    out, _ = dist_pose_graph.optimize_pose_graph_sim3_distributed(
         graph, flat, axis="pg", iters=iters
     )
-    new_poses = np.asarray(out.poses)
+    s_f, R_f, t_f = pg.sim7_to_srt(jnp.asarray(out.poses))
+    # fold scale into SE(3): x_cam = s R x + t  <=>  x_cam/s = R x + t/s —
+    # the camera center and orientation of [R, t/s]
+    new_poses = np.asarray(
+        P.log_se3(R_f, t_f / s_f[..., None]), np.float32
+    )
+
+    # propagate each keyframe's correction to the frames it anchors:
+    # T_t <- (T_t . T_kf_old^-1) . T_kf_new, batched over all frames
+    old_poses = np.stack([k.pose for k in kfs])
+    kf_rows = np.asarray([k.frame_idx for k in kfs])
+    T_total = len(result.trajectory)
+    anchor = np.maximum(np.searchsorted(kf_rows, np.arange(T_total), "right") - 1, 0)
+    Rt, tt = P.exp_se3(jnp.asarray(result.trajectory))
+    Ro, to = P.exp_se3(jnp.asarray(old_poses[anchor]))
+    Rn, tn = P.exp_se3(jnp.asarray(new_poses[anchor]))
+    Rrel, trel = P.compose(Rt, tt, *P.inverse(Ro, to))
+    Rtn, ttn = P.compose(Rrel, trel, Rn, tn)
+    traj_new = np.array(P.log_se3(Rtn, ttn), np.float32)  # writable copy
+    traj_new[kf_rows] = new_poses  # keyframe rows take the PG result exactly
+    result.trajectory[:] = traj_new
     for i, k in enumerate(kfs):
         k.pose = new_poses[i]
-        result.trajectory[k.frame_idx] = new_poses[i]
     return result
 
 

@@ -57,6 +57,14 @@ def save_slam_state(path: str, res: slam_mod.SlamResult, next_frame: int,
         next_frame=np.asarray(next_frame, np.int64),
         vel=np.zeros(6, np.float32) if vel is None else np.asarray(vel, np.float32),
     )
+    edges = getattr(res, "loop_edges", None) or []
+    payload.update(
+        loop_i=np.asarray([e[0] for e in edges], np.int64),
+        loop_j=np.asarray([e[1] for e in edges], np.int64),
+        loop_rel=(np.stack([e[2] for e in edges])
+                  if edges else np.zeros((0, 7), np.float32)),
+        loop_w=np.asarray([e[3] for e in edges], np.float32),
+    )
     if keyframes:
         # window keyframes: everything the windowed BA reads (host keypoint
         # coords + validity + map ids + pose); the two LIVE keyframes (the
