@@ -101,3 +101,104 @@ def test_zero_weight_edges_ignored():
     np.testing.assert_allclose(
         np.asarray(out2.poses), np.asarray(out1.poses), atol=1e-5
     )
+
+
+# ---------------- Sim(3) pose graph (monocular loop closure) ----------------
+
+def _sim3_circle_graph(n=10, drift=0.05, seed=2, noise=0.01):
+    """Ground truth on a circle with per-node scale e^(drift*k); exact
+    relative Sim(3) edge measurements; initialization with all scales at 1
+    and noisy translations — the optimizer must recover both."""
+    rng = np.random.default_rng(seed)
+    gt6, gts = [], []
+    for k in range(n):
+        ang = 2 * np.pi * k / n
+        gt6.append([0.0, ang, 0.0, np.cos(ang), 0.0, np.sin(ang)])
+        gts.append(np.exp(drift * k))
+    R, t = P.exp_se3(jnp.asarray(np.stack(gt6), jnp.float32))
+    s = jnp.asarray(gts, jnp.float32)
+    gt7 = pg.srt_to_sim7(s, R, t)
+
+    def rel(i, j):
+        sr, Rr, tr = P.relative_sim3(s[i], R[i], t[i], s[j], R[j], t[j])
+        return np.asarray(pg.srt_to_sim7(sr, Rr, tr))
+
+    ei, ej, meas = [], [], []
+    for k in range(n - 1):
+        ei.append(k)
+        ej.append(k + 1)
+        meas.append(rel(k, k + 1))
+    for (i, j) in [(0, n // 2), (1, n - 2), (0, n - 1)]:
+        ei.append(i)
+        ej.append(j)
+        meas.append(rel(i, j))
+    init = np.asarray(gt7)
+    init = init.copy()
+    init[1:, 3:6] += rng.normal(0, noise, (n - 1, 3))
+    init[:, 6] = 0.0  # all scales initialized to 1
+    g = pg.Sim3PoseGraph(
+        poses=jnp.asarray(init, jnp.float32),
+        edge_i=jnp.asarray(ei, jnp.int32),
+        edge_j=jnp.asarray(ej, jnp.int32),
+        t_meas=jnp.asarray(np.stack(meas), jnp.float32),
+        weight=jnp.ones(len(ei), jnp.float32),
+    )
+    return g, np.asarray(gt7)
+
+
+def test_sim3_pose_graph_recovers_scale_drift():
+    g, gt7 = _sim3_circle_graph()
+    out, costs = pg.optimize_pose_graph_sim3(g, iters=12)
+    assert float(costs[-1]) < 1e-6 * float(costs[0])
+    got = np.asarray(out.poses)
+    # per-node scales recovered (gauge: node 0 fixed at scale gt = 1)
+    np.testing.assert_allclose(
+        np.exp(got[:, 6]), np.exp(gt7[:, 6]), rtol=2e-3,
+        err_msg="per-node scale drift not recovered",
+    )
+    np.testing.assert_allclose(got[:, 3:6], gt7[:, 3:6], atol=5e-3)
+    # an SE(3) graph CANNOT represent the scale component: feeding it the
+    # SE(3) part of the same measurements leaves large translation error
+    g6 = pg.PoseGraph(
+        poses=jnp.asarray(
+            np.asarray(P.log_se3(*P.exp_se3(jnp.zeros((len(gt7), 6))))) * 0
+            + np.concatenate(
+                [gt7[:, :3], gt7[:, 3:6]], axis=1
+            ),
+            jnp.float32,
+        ),
+        edge_i=g.edge_i, edge_j=g.edge_j,
+        t_meas=jnp.asarray(
+            np.concatenate(
+                [np.asarray(g.t_meas)[:, :3], np.asarray(g.t_meas)[:, 3:6]],
+                axis=1,
+            ), jnp.float32,
+        ),
+        weight=g.weight,
+    )
+    out6, costs6 = pg.optimize_pose_graph(g6, iters=12)
+    assert float(costs6[-1]) > 1e3 * float(costs[-1])
+
+
+def test_sim3_matches_se3_when_scales_trivial():
+    """With unit scales and se3-consistent edges, the Sim(3) optimizer must
+    reproduce the SE(3) optimizer's solution."""
+    g_se3, gt = _circle_graph(seed=5)
+    R, t = P.exp_se3(g_se3.poses)
+    ones = jnp.ones(g_se3.poses.shape[0])
+    Rm, tm = P.exp_se3(g_se3.t_meas)
+    em = jnp.ones(g_se3.t_meas.shape[0])
+    g_sim = pg.Sim3PoseGraph(
+        poses=pg.srt_to_sim7(ones, R, t),
+        edge_i=g_se3.edge_i, edge_j=g_se3.edge_j,
+        t_meas=pg.srt_to_sim7(em, Rm, tm),
+        weight=g_se3.weight,
+    )
+    out6, _ = pg.optimize_pose_graph(g_se3, iters=10)
+    out7, _ = pg.optimize_pose_graph_sim3(g_sim, iters=10)
+    R6, t6 = P.exp_se3(out6.poses)
+    s7, R7, t7 = pg.sim7_to_srt(out7.poses)
+    # with NOISY odometry the scale DoF absorbs a little residual (it is
+    # weakly observable), so agreement is approximate, not exact
+    np.testing.assert_allclose(np.asarray(s7), 1.0, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(t7), np.asarray(t6), atol=5e-2)
