@@ -239,8 +239,14 @@ class MatchConfig:
     mutual_best: bool = True
     # > 0: stream d1 in column blocks of this size (never materializing the
     # [N0, N1] similarity matrix) when N1 exceeds it — for descriptor sets
-    # far beyond SetMaxSift's ~8k.  0 = always dense.
+    # far beyond SetMaxSift's ~8k.  0 = AUTO: the streaming path engages
+    # with `stream_block` columns whenever N1 > `stream_threshold` (the
+    # dense [N0, N1] f32 similarity + argmax passes start losing to the
+    # scan's locality around there, and the buffer alone is >= 1 GB at
+    # 16k x 16k); below it the dense path is untouched.  -1 = always dense.
     block_size: int = 0
+    stream_threshold: int = 8192   # auto-engage above SetMaxSift's ~8k cap
+    stream_block: int = 4096       # measured v5e sweet spot (scripts/bench_match_stream.py)
 
     def replace(self, **kw) -> "MatchConfig":
         return dataclasses.replace(self, **kw)

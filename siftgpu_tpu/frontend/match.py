@@ -177,6 +177,23 @@ def _similarities(d0, d1):
     return jnp.dot(_normalize(d0), _normalize(d1).T, precision=_HI)
 
 
+def _effective_block(cfg: MatchConfig, n1: int) -> int:
+    """Streaming-engagement policy (static — shapes are compile-time).
+
+    block_size > 0: stream with that block when N1 exceeds it (explicit).
+    block_size == 0: AUTO — stream with `cfg.stream_block` columns when
+      N1 > `cfg.stream_threshold` (beyond SetMaxSift-class capacities the
+      dense [N0, N1] f32 similarity buffer and its argmax passes dominate);
+      dense below.
+    block_size < 0: always dense.
+    Returns the block size to use, or 0 for the dense path."""
+    if cfg.block_size > 0:
+        return cfg.block_size if n1 > cfg.block_size else 0
+    if cfg.block_size == 0 and n1 > cfg.stream_threshold:
+        return min(cfg.stream_block, n1)
+    return 0
+
+
 def match_descriptors_impl(
     d0: jax.Array, d1: jax.Array,
     mask0: Optional[jax.Array] = None, mask1: Optional[jax.Array] = None,
@@ -187,8 +204,9 @@ def match_descriptors_impl(
         mask0 = jnp.ones(d0.shape[0], bool)
     if mask1 is None:
         mask1 = jnp.ones(d1.shape[0], bool)
-    if cfg.block_size > 0 and d1.shape[0] > cfg.block_size:
-        return _match_streaming(d0, d1, mask0, mask1, cfg)
+    bs = _effective_block(cfg, d1.shape[0])
+    if bs:
+        return _match_streaming(d0, d1, mask0, mask1, cfg.replace(block_size=bs))
     return _select(_similarities(d0, d1), mask0, mask1, cfg)
 
 
@@ -263,11 +281,12 @@ def guided_match_descriptors(
         mask0 = jnp.ones(d0.shape[0], bool)
     if mask1 is None:
         mask1 = jnp.ones(d1.shape[0], bool)
-    if cfg.block_size > 0 and d1.shape[0] > cfg.block_size:
+    bs = _effective_block(cfg, d1.shape[0])
+    if bs:
         Hj = None if H is None else jnp.asarray(H, jnp.float32)
         Fj = None if F is None else jnp.asarray(F, jnp.float32)
         return _match_streaming(
-            d0, d1, mask0, mask1, cfg,
+            d0, d1, mask0, mask1, cfg.replace(block_size=bs),
             loc0=jnp.asarray(loc0, jnp.float32), loc1=jnp.asarray(loc1),
             H=Hj, F=Fj, hdist_max=hdist_max, fdist_max=fdist_max,
         )

@@ -25,7 +25,7 @@ __all__ = ["profile_extraction", "format_stage_table"]
 
 
 def profile_extraction(
-    images: jax.Array, cfg: SiftConfig, iters: int = 3, match_pairs: bool = True,
+    images: jax.Array, cfg: SiftConfig, iters: int = 20, match_pairs: bool = True,
     mcfg: MatchConfig | None = None,
 ) -> Dict[str, float]:
     """Returns {stage: seconds_per_iter} with stages pyramid / detect /
@@ -96,10 +96,13 @@ def profile_extraction(
         return out
 
     def timeit(fn, *args):
-        out = sync(fn(*args))
+        out = sync(fn(*args))   # compile + warm
+        # queue-amortized: enqueue all iterations, sync ONCE — a per-iter
+        # sync would add the full ~25 ms tunnel RTT to every stage and
+        # drown the stage times it is meant to attribute
         t0 = time.perf_counter()
-        for _ in range(iters):
-            out = sync(fn(*args))
+        outs = [fn(*args) for _ in range(iters)]
+        sync(outs[-1])
         return (time.perf_counter() - t0) / iters, out
 
     times: Dict[str, float] = {}

@@ -176,3 +176,31 @@ def test_streaming_guided_matches_dense_guided():
         np.testing.assert_allclose(
             np.asarray(stream.dist[:c]), np.asarray(dense.dist[:c]), atol=5e-4
         )
+
+
+def test_auto_streaming_policy_matches_dense():
+    """block_size=0 (AUTO) engages streaming above stream_threshold with
+    identical selection semantics; -1 forces dense."""
+    import numpy as np
+
+    from siftgpu_tpu.core.config import MatchConfig
+    from siftgpu_tpu.frontend.match import _effective_block, match_descriptors_impl
+
+    rng = np.random.default_rng(3)
+    N = 640
+    d0 = jnp.asarray(rng.integers(0, 256, (N, 128), dtype=np.uint8))
+    d1 = jnp.asarray(rng.integers(0, 256, (N, 128), dtype=np.uint8))
+    auto = MatchConfig(max_sift=N, max_match=N, stream_threshold=256,
+                       stream_block=128)
+    dense = MatchConfig(max_sift=N, max_match=N, block_size=-1)
+    assert _effective_block(auto, N) == 128
+    assert _effective_block(dense, N) == 0
+    assert _effective_block(MatchConfig(), 4096) == 0    # below default 8k
+    assert _effective_block(MatchConfig(), 16384) == 4096  # above -> stream
+    import jax as _jax
+
+    ra = _jax.jit(lambda a, b: match_descriptors_impl(a, b, cfg=auto))(d0, d1)
+    rd = _jax.jit(lambda a, b: match_descriptors_impl(a, b, cfg=dense))(d0, d1)
+    assert int(ra.count) == int(rd.count)
+    np.testing.assert_array_equal(np.asarray(ra.pairs), np.asarray(rd.pairs))
+    np.testing.assert_allclose(np.asarray(ra.dist), np.asarray(rd.dist), atol=1e-6)
