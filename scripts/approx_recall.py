@@ -15,7 +15,12 @@ whole-stage detect_winners cost):
     recall_target 0.95: overlap 0.9591   7.5 ms/iter
     recall_target 0.97: overlap 0.9775   9.5 ms/iter  (config default now)
     recall_target 0.99: overlap 0.9948  24.8 ms/iter
-Run: python scripts/approx_recall.py   (solo -- the TPU is single-tenant)
+Run: python scripts/approx_recall.py [H W cap]  (solo -- single-tenant TPU)
+
+Measured 2026-08-21 (v5e, 640x480 octave 0, cap 2048, 460k pooled
+candidates — the topk_approx_min 2^18 default change):
+    exact:              overlap 1.0000
+    recall_target 0.97: overlap 0.9995 (cap binds barely at 640)
 """
 
 import sys, time, dataclasses
@@ -29,9 +34,10 @@ from siftgpu_tpu.core.config import SiftConfig
 from siftgpu_tpu.frontend import detect
 from siftgpu_tpu.oracle import fixtures, sift_cpu
 
-H, W = 2160, 3840
+_args = [int(a) for a in sys.argv[1:]]
+H, W, CAP = (_args + [2160, 3840, 8192])[:3] if _args else (2160, 3840, 8192)
 img = fixtures.random_texture(H, W, seed=5, smooth=2)
-cfg0 = SiftConfig(height=H, width=W, max_keypoints=8192)
+cfg0 = SiftConfig(height=H, width=W, max_keypoints=CAP)
 base = sift_cpu.convolve_sep(img.astype(np.float32), cfg0.gaussian_taps(cfg0.initial_blur_sigma()))
 levels = [base]
 for s in cfg0.incremental_sigmas():
@@ -58,7 +64,7 @@ def timeit(cfg, cap, iters=20):
     np.asarray(outs.py.ravel()[0:1])
     return (time.perf_counter() - t0) / iters * 1e3
 
-cap = 8192
+cap = CAP
 we = wset(dataclasses.replace(cfg0, detect_topk="exact"), cap)
 t_e = timeit(dataclasses.replace(cfg0, detect_topk="exact"), cap)
 print(f"exact: {len(we)} winners, {t_e:.1f} ms/iter", flush=True)

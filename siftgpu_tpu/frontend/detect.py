@@ -5,17 +5,20 @@ list generation (`InitHist/ReduceHist/ListGen`, SURVEY.md §2.4 items 3-4 ⚠).
 The reference compacts variable-length keypoint lists on the GPU and reads the
 count back to the host; here there are NO host syncs and NO dynamic shapes:
 
-  1. dense extrema / contrast / edge masks over the DoG volume in one fused
-     Pallas stencil pass on accelerators (ops/detect_scores.py);
+  1. dense extrema / contrast / edge masks AND the dense closed-form
+     (Cramer) subpixel solve over the DoG volume in one fused Pallas stencil
+     pass on accelerators (ops/detect_scores.py) — the pass already holds
+     all 27 taps, so it emits a per-pixel refinement record
+     (val, off_l, off_y, off_x) alongside the score planes;
   2. per-octave `top_k` of |DoG| over 2x2-pooled candidate scores into a
      fixed-capacity buffer (deterministic: score desc, flat index asc —
      SURVEY §7.4 item 1), winner pixel recovered from the block corner index
      packed in the score's low mantissa bits;
-  3. ONE packed `take_along_axis` pulls the 19 DoG patch cells the solve
-     reads (cube corners unused) for every survivor — merged across ALL
-     octaves by `detect_pyramid`;
-  4. vectorized closed-form (Cramer) 3x3 solve for subpixel offsets, final
-     contrast + border tests folded into the validity mask.
+  3. ONE packed `take_along_axis` pulls each survivor's 4-field record —
+     merged across ALL octaves by `detect_pyramid` (the per-element gather
+     cost made the previous 19-cell DoG patch gather the dominant detect
+     stage);
+  4. offset/contrast/border validity tests on the gathered records.
 
 The candidate ordering uses the *unrefined* |DoG| response; the oracle orders
 by refined response.  Identical sets whenever the cap is not binding.
@@ -34,7 +37,7 @@ from .pyramid import Octave
 __all__ = [
     "OctaveKeypoints", "OctaveWinners",
     "detect_octave", "detect_pyramid", "detect_winners",
-    "patch_indices", "refine_patches",
+    "record_indices", "refine_records",
 ]
 
 
@@ -88,13 +91,16 @@ def _pick_scores_impl(cfg: SiftConfig) -> str:
 
 
 def _dense_scores_xla(dog: jax.Array, cfg: SiftConfig, owned_rows):
-    """Masked per-type candidate score planes, pure-XLA formulation.
+    """Masked per-type candidate score planes + dense refinement record,
+    pure-XLA formulation.
 
-    Returns (s_max, s_min) [B, S, He, We] (He/We = H/W rounded up to even)
-    where nonzero entries are |DoG| at strict 26-neighbor extrema passing the
-    pre-threshold + Hessian edge + interior tests.  The Pallas kernel
-    (ops/detect_scores.py) computes the identical planes in one fused pass on
-    accelerators; this is the CPU / golden route."""
+    Returns (s_max, s_min, val, off_l, off_y, off_x), all [B, S, He, We]
+    (He/We = H/W rounded up to even).  Nonzero score entries are |DoG| at
+    strict 26-neighbor extrema passing the pre-threshold + Hessian edge +
+    interior tests; the record planes carry the Cramer subpixel solve of
+    every pixel (garbage at non-candidates — only winner cells are read).
+    The Pallas kernel (ops/detect_scores.py) computes the identical planes
+    in one fused pass on accelerators; this is the CPU / golden route."""
     B, L, H, W = dog.shape
     S = L - 2
     v = dog[:, 1 : S + 1]              # [B, S, H, W] candidate slices
@@ -139,11 +145,51 @@ def _dense_scores_xla(dog: jax.Array, cfg: SiftConfig, owned_rows):
     par = (yy & 1) * 2 + (xx & 1)
     s_max = _pack_corner(jnp.abs(v) * (is_max & base_keep), par[None, None])
     s_min = _pack_corner(jnp.abs(v) * (is_min & base_keep), par[None, None])
+
+    # --- dense subpixel-refinement record (same f32 expressions as the
+    # Pallas kernel / the retired gather-based refine_patches) ---
+    dgp = jnp.pad(dog.astype(jnp.float32), ((0, 0), (0, 0), (1, 1), (1, 1)))
+
+    def q(dl, dy, dx):
+        return dgp[:, 1 + dl : 1 + dl + S, 1 + dy : 1 + dy + H,
+                   1 + dx : 1 + dx + W]
+
+    vc = v.astype(jnp.float32)
+    if cfg.subpixel:
+        gl = 0.5 * (q(1, 0, 0) - q(-1, 0, 0))
+        gy = 0.5 * (q(0, 1, 0) - q(0, -1, 0))
+        gx = 0.5 * (q(0, 0, 1) - q(0, 0, -1))
+        a = q(1, 0, 0) + q(-1, 0, 0) - 2 * vc
+        d = q(0, 1, 0) + q(0, -1, 0) - 2 * vc
+        f = q(0, 0, 1) + q(0, 0, -1) - 2 * vc
+        b_ = 0.25 * (q(1, 1, 0) - q(1, -1, 0) - q(-1, 1, 0) + q(-1, -1, 0))
+        c_ = 0.25 * (q(1, 0, 1) - q(1, 0, -1) - q(-1, 0, 1) + q(-1, 0, -1))
+        e_ = 0.25 * (q(0, 1, 1) - q(0, 1, -1) - q(0, -1, 1) + q(0, -1, -1))
+        detH = (
+            a * (d * f - e_ * e_) - b_ * (b_ * f - c_ * e_)
+            + c_ * (b_ * e_ - c_ * d)
+        )
+        ok_det = jnp.abs(detH) > 1e-12
+        inv_det = jnp.where(ok_det, 1.0 / jnp.where(ok_det, detH, 1.0), 0.0)
+        i00 = d * f - e_ * e_
+        i01 = c_ * e_ - b_ * f
+        i02 = b_ * e_ - c_ * d
+        i11 = a * f - c_ * c_
+        i12 = b_ * c_ - a * e_
+        i22 = a * d - b_ * b_
+        off_l = -(i00 * gl + i01 * gy + i02 * gx) * inv_det
+        off_y = -(i01 * gl + i11 * gy + i12 * gx) * inv_det
+        off_x = -(i02 * gl + i12 * gy + i22 * gx) * inv_det
+        val = vc + 0.5 * (gl * off_l + gy * off_y + gx * off_x)
+    else:
+        off_l = off_y = off_x = jnp.zeros_like(vc)
+        val = vc
+
+    planes = (s_max, s_min, val, off_l, off_y, off_x)
     if (He, We) != (H, W):
         pad2 = ((0, 0), (0, 0), (0, He - H), (0, We - W))
-        s_max = jnp.pad(s_max, pad2)
-        s_min = jnp.pad(s_min, pad2)
-    return s_max, s_min
+        planes = tuple(jnp.pad(p, pad2) for p in planes)
+    return planes
 
 
 def _pack_corner(s: jax.Array, par: jax.Array) -> jax.Array:
@@ -165,6 +211,15 @@ def detect_winners(
     dog: jax.Array, cfg: SiftConfig, cap: int, owned_rows=None,
     scores_impl: str | None = None,
 ) -> OctaveWinners:
+    """Back-compat wrapper: winners only (profiling scripts)."""
+    win, _, _ = _winners_and_records(dog, cfg, cap, owned_rows, scores_impl)
+    return win
+
+
+def _winners_and_records(
+    dog: jax.Array, cfg: SiftConfig, cap: int, owned_rows=None,
+    scores_impl: str | None = None,
+):
     """Dense scores -> 2x2-pooled top-k -> integer winner pixels.
 
     `owned_rows=(lo, hi)` restricts candidates to slab rows [lo, hi) — used
@@ -191,11 +246,13 @@ def detect_winners(
     if impl.startswith("pallas"):
         from ..ops.detect_scores import detect_scores
 
-        s_max, s_min = detect_scores(
+        s_max, s_min, r_val, r_ol, r_oy, r_ox = detect_scores(
             dog, cfg, owned_rows, interpret=(impl == "pallas_interpret")
         )
     else:
-        s_max, s_min = _dense_scores_xla(dog, cfg, owned_rows)
+        s_max, s_min, r_val, r_ol, r_oy, r_ox = _dense_scores_xla(
+            dog, cfg, owned_rows
+        )
     Hs, Ws = s_max.shape[-2:]          # even tile-padded plane dims
 
     def pooled(score):
@@ -237,75 +294,43 @@ def detect_winners(
     py = (rem // (Ws // 2)) * 2 + (corner >> 1)
     px = (rem % (Ws // 2)) * 2 + (corner & 1)
     # padded rows/cols can never win: their scores are 0 and cand masks them
-    return OctaveWinners(py=py, px=px, l=l, cand=cand)
+    win = OctaveWinners(py=py, px=px, l=l, cand=cand)
+    return win, (r_val, r_ol, r_oy, r_ox), (Hs, Ws)
 
 
-# 3x3x3 patch cells the Cramer solve actually reads: the gradient and the
-# symmetric Hessian only touch the center, the 6 faces, and the 12 edges —
-# the 8 cube corners (dl, dy, dx all nonzero) never appear, so gathering
-# them would waste ~30% of the dominant per-element gather cost (measured
-# ~15 ns/elem on v5e regardless of locality).
-_PATCH_OFFSETS = [
-    (dl, dy, dx)
-    for dl in (-1, 0, 1) for dy in (-1, 0, 1) for dx in (-1, 0, 1)
-    if not (dl and dy and dx)
-]
-N_PATCH = len(_PATCH_OFFSETS)  # 19
+# The subpixel solve no longer gathers 3x3x3 DoG patches: the dense score
+# pass (Pallas kernel / XLA mirror) already holds all 27 taps and emits the
+# Cramer RECORD (val, off_l, off_y, off_x) per pixel, so the top-k tail
+# gathers 4 record cells per winner instead of 19 patch cells — per-element
+# gather cost (~11-15 ns on v5e, independent of locality) dominated detect.
+N_REC = 4
 
 
-def patch_indices(win: OctaveWinners, H: int, W: int) -> jax.Array:
-    """[B, 19*cap] flat DoG-volume indices of the used 3x3x3 patch cells per
-    winner (layout [_PATCH_OFFSETS, cap]; l is 1-based so l-1+dl stays in
-    [0, S+1]).  Clamps keep padded-plane winners (masked by `cand`) in
-    range."""
-    yc = jnp.clip(win.py, 1, H - 2)
-    xc = jnp.clip(win.px, 1, W - 2)
-    base = win.l * (H * W) + yc * W + xc             # [B, cap] center
-    offs = [(dl * H + dy) * W + dx for dl, dy, dx in _PATCH_OFFSETS]
-    return jnp.concatenate([base + o for o in offs], axis=1)
+def record_indices(win: OctaveWinners, S: int, Hs: int, Ws: int) -> jax.Array:
+    """[B, 4*cap] flat indices of the winner's record cells in the
+    field-stacked record planes reshaped to [B, 4 * S*Hs*Ws] (field-major:
+    val | off_l | off_y | off_x; l is 1-based, records indexed by slice
+    l-1).  `cand` masks padded winners downstream; their clamped indices
+    just read slot 0."""
+    vol = S * Hs * Ws
+    cell = (jnp.clip(win.l - 1, 0, S - 1)) * (Hs * Ws) + win.py * Ws + win.px
+    return jnp.concatenate([cell + f * vol for f in range(N_REC)], axis=1)
 
 
-def refine_patches(
-    p: jax.Array, win: OctaveWinners, cfg: SiftConfig, H: int, W: int
+def refine_records(
+    rec: jax.Array, win: OctaveWinners, cfg: SiftConfig, H: int, W: int
 ) -> OctaveKeypoints:
-    """p: [B, N_PATCH, cap] gathered DoG patch cells (`_PATCH_OFFSETS`
-    order) -> Cramer 3x3 subpixel solve + final contrast/border tests."""
+    """rec: [B, 4, cap] gathered (val, off_l, off_y, off_x) records of each
+    winner (the dense Cramer solve ran in the score pass) -> offset/contrast/
+    border validity tests + derived scale.  H, W are the TRUE image dims."""
     S = cfg.dog_levels
     py, px, l, cand = win.py, win.px, win.l, win.cand
-
-    def q(dl, dy, dx):
-        return p[:, _PATCH_OFFSETS.index((dl, dy, dx))]
-
-    vc = q(0, 0, 0)
-    # gradient
-    gl = 0.5 * (q(1, 0, 0) - q(-1, 0, 0))
-    gy = 0.5 * (q(0, 1, 0) - q(0, -1, 0))
-    gx = 0.5 * (q(0, 0, 1) - q(0, 0, -1))
-    # symmetric Hessian [[a,b,c],[b,d,e],[c,e,f]] in (l, y, x) order
-    a = q(1, 0, 0) + q(-1, 0, 0) - 2 * vc
-    d = q(0, 1, 0) + q(0, -1, 0) - 2 * vc
-    f = q(0, 0, 1) + q(0, 0, -1) - 2 * vc
-    b_ = 0.25 * (q(1, 1, 0) - q(1, -1, 0) - q(-1, 1, 0) + q(-1, -1, 0))
-    c_ = 0.25 * (q(1, 0, 1) - q(1, 0, -1) - q(-1, 0, 1) + q(-1, 0, -1))
-    e_ = 0.25 * (q(0, 1, 1) - q(0, 1, -1) - q(0, -1, 1) + q(0, -1, -1))
+    val, off_l, off_y, off_x = rec[:, 0], rec[:, 1], rec[:, 2], rec[:, 3]
 
     if cfg.subpixel:
-        detH = a * (d * f - e_ * e_) - b_ * (b_ * f - c_ * e_) + c_ * (b_ * e_ - c_ * d)
-        ok_det = jnp.abs(detH) > 1e-12
-        inv_det = jnp.where(ok_det, 1.0 / jnp.where(ok_det, detH, 1.0), 0.0)
-        # adjugate rows (symmetric inverse)
-        i00 = d * f - e_ * e_
-        i01 = c_ * e_ - b_ * f
-        i02 = b_ * e_ - c_ * d
-        i11 = a * f - c_ * c_
-        i12 = b_ * c_ - a * e_
-        i22 = a * d - b_ * b_
-        off_l = -(i00 * gl + i01 * gy + i02 * gx) * inv_det
-        off_y = -(i01 * gl + i11 * gy + i12 * gx) * inv_det
-        off_x = -(i02 * gl + i12 * gy + i22 * gx) * inv_det
-        val = vc + 0.5 * (gl * off_l + gy * off_y + gx * off_x)
         off_ok = (
-            (jnp.abs(off_l) <= 1.5) & (jnp.abs(off_y) <= 1.5) & (jnp.abs(off_x) <= 1.5)
+            (jnp.abs(off_l) <= 1.5) & (jnp.abs(off_y) <= 1.5)
+            & (jnp.abs(off_x) <= 1.5)
         )
         # a level offset beyond +-0.5 means the extremum belongs to the
         # neighboring DoG slice; clamp so refined sigma stays within the
@@ -313,9 +338,7 @@ def refine_patches(
         # (core/scalespace.py::max_detect_sigma) — oracle does the same
         off_l = jnp.clip(off_l, -0.5, 0.5)
     else:
-        off_l = off_y = off_x = jnp.zeros_like(vc)
-        val = vc
-        off_ok = jnp.ones_like(vc, dtype=bool)
+        off_ok = jnp.ones_like(val, dtype=bool)
 
     fy = py.astype(jnp.float32) + off_y
     fx = px.astype(jnp.float32) + off_x
@@ -345,51 +368,48 @@ def detect_octave(
 ) -> OctaveKeypoints:
     """Single-octave detection (see `detect_winners` for the semantics).
     The multi-octave single-chip path uses `detect_pyramid`, which merges the
-    per-octave patch gathers into one call."""
+    per-octave record gathers into one call."""
     dog = oc.dog                       # [B, S+2, H, W]
     B, L, H, W = dog.shape
-    win = detect_winners(dog, cfg, cap, owned_rows, scores_impl)
-    pidx = patch_indices(win, H, W)
-    # ONE packed gather: all used patch cells of all winners in a single
-    # take_along_axis (per-call dispatch cost ~1 ms, per-element ~15 ns —
-    # the vmapped dynamic_slice formulation this replaces cost 18 ms at
-    # 640x480)
-    p = (
-        jnp.take_along_axis(dog.reshape(B, L * H * W), pidx, axis=1)
-        .reshape(B, N_PATCH, -1)
-        .astype(jnp.float32)
+    S = L - 2
+    win, recs, (Hs, Ws) = _winners_and_records(
+        dog, cfg, cap, owned_rows, scores_impl
     )
-    return refine_patches(p, win, cfg, H, W)
+    ridx = record_indices(win, S, Hs, Ws)
+    rf = jnp.concatenate([r.reshape(B, -1) for r in recs], axis=1)
+    rec = jnp.take_along_axis(rf, ridx, axis=1).reshape(B, N_REC, -1)
+    return refine_records(rec, win, cfg, H, W)
 
 
 def detect_pyramid(
     pyr, cfg: SiftConfig, caps=None, scores_impl: str | None = None,
 ):
-    """Detection over ALL octaves with the patch gathers of every octave
-    merged into ONE take_along_axis (per-call gather cost dominates the
-    per-octave formulation: 5 calls ~= 5 ms at 640x480).  Returns a list of
-    per-octave `OctaveKeypoints`, identical to calling `detect_octave` per
-    octave."""
+    """Detection over ALL octaves with the record gathers of every octave
+    merged into ONE take_along_axis (per-call gather cost ~1 ms dominates
+    the per-octave formulation).  Returns a list of per-octave
+    `OctaveKeypoints`, identical to calling `detect_octave` per octave."""
     caps = caps or [cfg.octave_cap(o) for o in range(len(pyr))]
     B = pyr[0].dog.shape[0]
-    wins, pidxs, sizes = [], [], []
+    wins, ridxs, dims, flats = [], [], [], []
     off = 0
     for oc, cap in zip(pyr, caps):
         _, L, H, W = oc.dog.shape
-        win = detect_winners(oc.dog, cfg, cap, None, scores_impl)
+        S = L - 2
+        win, recs, (Hs, Ws) = _winners_and_records(
+            oc.dog, cfg, cap, None, scores_impl
+        )
         wins.append(win)
-        pidxs.append(patch_indices(win, H, W) + off)
-        sizes.append(L * H * W)
-        off += L * H * W
-    dogf = jnp.concatenate([oc.dog.reshape(B, -1) for oc in pyr], axis=1)
-    pall = jnp.take_along_axis(
-        dogf, jnp.concatenate(pidxs, axis=1), axis=1
-    ).astype(jnp.float32)
+        ridxs.append(record_indices(win, S, Hs, Ws) + off)
+        dims.append((H, W))
+        flats.append(jnp.concatenate([r.reshape(B, -1) for r in recs], axis=1))
+        off += N_REC * S * Hs * Ws
+    rall = jnp.take_along_axis(
+        jnp.concatenate(flats, axis=1), jnp.concatenate(ridxs, axis=1), axis=1
+    )
 
     outs, col = [], 0
-    for oc, cap, win in zip(pyr, caps, wins):
-        _, L, H, W = oc.dog.shape
-        p = pall[:, col : col + N_PATCH * cap].reshape(B, N_PATCH, cap)
-        col += N_PATCH * cap
-        outs.append(refine_patches(p, win, cfg, H, W))
+    for (H, W), cap, win in zip(dims, caps, wins):
+        rec = rall[:, col : col + N_REC * cap].reshape(B, N_REC, cap)
+        col += N_REC * cap
+        outs.append(refine_records(rec, win, cfg, H, W))
     return outs

@@ -177,7 +177,7 @@ def assemble_features(parts, cfg: SiftConfig) -> Features:
     resp = jnp.abs(r) if cfg.keep_sign else r
     # octave bias for -tc1/-tc2: the refined |response| is bounded by
     # |vc| + 0.5*sum_i |g_i|*|off_i| <= 1 + 0.5*3*1*1.5 = 3.25 (DoG of
-    # [0, 1] images gives |vc| <= 1, |g_i| <= 1; refine_patches' off_ok
+    # [0, 1] images gives |vc| <= 1, |g_i| <= 1; the refinement's off_ok
     # clamp gives |off_i| <= 1.5 — widen that clamp and this bias must be
     # re-derived).  4.0 > 3.25 keeps octaves totally ordered while the f32
     # ulp at the biased score (~6e-6 at 12 octaves) stays far below response

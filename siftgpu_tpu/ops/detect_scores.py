@@ -14,9 +14,14 @@ emits the two masked score planes
                        MAXIMUM passing pre-threshold + edge + border tests
     smin             = same for strict minima
 
-that feed the shared pooled-top-k compaction tail in `detect.py`.  Outputs
-are bit-identical to the XLA path (same f32 compares and selects), padded
-with zeros to (Hp, Wo) tile geometry — padded cells can never win top-k.
+plus the dense per-pixel subpixel-refinement record (val, off_l, off_y,
+off_x) that the top-k tail gathers per winner (4 cells instead of the
+19-cell DoG patch gather this replaced).  All planes feed the shared
+pooled-top-k compaction tail in `detect.py`.  Score planes are
+bit-identical to the XLA path (same f32 compares and selects); record
+planes agree to f32 ulps (FMA contraction differs between compilers).
+Outputs are padded with zeros to (Hp, Wo) tile geometry — padded cells can
+never win top-k.
 
 Geometry: row slabs of TH rows (TH chosen so two slab buffers fit VMEM) with
 8 halo rows above/below (DMA sublane alignment); the lane axis is loaded
@@ -41,8 +46,9 @@ _WIN_BYTES = 4_500_000  # budget for the double-buffered window scratch
 
 
 def _kernel(
-    dog_hbm, omax_ref, omin_ref, win, sems,
-    *, S, nty, TH, Wo, W, ylo, yhi, thr, edge_r,
+    dog_hbm, omax_ref, omin_ref, oval_ref, ool_ref, ooy_ref, oox_ref,
+    win, sems,
+    *, S, nty, TH, Wo, W, ylo, yhi, thr, edge_r, subpixel,
 ):
     b = pl.program_id(0)
     s = pl.program_id(1)
@@ -131,11 +137,53 @@ def _kernel(
             jnp.where(is_min & keep, av, zero), jnp.float32
         )
 
+        # --- dense subpixel-refinement RECORD (detect.refine_records'
+        # Cramer solve, same f32 expressions/order so downstream results are
+        # bit-identical to the gather-based formulation it replaces).  The
+        # 27 taps are already in VMEM; emitting (val, off_l, off_y, off_x)
+        # per pixel lets the top-k tail gather 4 record cells per winner
+        # instead of 19 DoG patch cells — the per-element gather cost
+        # (~11-15 ns on v5e) dominated the detect stage.
+        if subpixel:
+            gl = 0.5 * (sl(2, 0, 0) - sl(0, 0, 0))
+            gy = 0.5 * (sl(1, 1, 0) - sl(1, -1, 0))
+            gx = 0.5 * (sl(1, 0, 1) - sl(1, 0, -1))
+            a = sl(2, 0, 0) + sl(0, 0, 0) - 2 * v
+            d = sl(1, 1, 0) + sl(1, -1, 0) - 2 * v
+            f = sl(1, 0, 1) + sl(1, 0, -1) - 2 * v
+            b_ = 0.25 * (sl(2, 1, 0) - sl(2, -1, 0) - sl(0, 1, 0) + sl(0, -1, 0))
+            c_ = 0.25 * (sl(2, 0, 1) - sl(2, 0, -1) - sl(0, 0, 1) + sl(0, 0, -1))
+            e_ = 0.25 * (sl(1, 1, 1) - sl(1, 1, -1) - sl(1, -1, 1) + sl(1, -1, -1))
+            detH = (
+                a * (d * f - e_ * e_) - b_ * (b_ * f - c_ * e_)
+                + c_ * (b_ * e_ - c_ * d)
+            )
+            ok_det = jnp.abs(detH) > 1e-12
+            inv_det = jnp.where(ok_det, 1.0 / jnp.where(ok_det, detH, 1.0), 0.0)
+            i00 = d * f - e_ * e_
+            i01 = c_ * e_ - b_ * f
+            i02 = b_ * e_ - c_ * d
+            i11 = a * f - c_ * c_
+            i12 = b_ * c_ - a * e_
+            i22 = a * d - b_ * b_
+            off_l = -(i00 * gl + i01 * gy + i02 * gx) * inv_det
+            off_y = -(i01 * gl + i11 * gy + i12 * gx) * inv_det
+            off_x = -(i02 * gl + i12 * gy + i22 * gx) * inv_det
+            val = v + 0.5 * (gl * off_l + gy * off_y + gx * off_x)
+        else:
+            off_l = off_y = off_x = jnp.zeros_like(v)
+            val = v
+        oval_ref[0, 0, :, pl.ds(c0, cw)] = val
+        ool_ref[0, 0, :, pl.ds(c0, cw)] = off_l
+        ooy_ref[0, 0, :, pl.ds(c0, cw)] = off_y
+        oox_ref[0, 0, :, pl.ds(c0, cw)] = off_x
+
 
 @functools.partial(
-    jax.jit, static_argnames=("ylo", "yhi", "thr", "edge_r", "interpret")
+    jax.jit,
+    static_argnames=("ylo", "yhi", "thr", "edge_r", "subpixel", "interpret"),
 )
-def _detect_scores_impl(dog, *, ylo, yhi, thr, edge_r, interpret):
+def _detect_scores_impl(dog, *, ylo, yhi, thr, edge_r, subpixel, interpret):
     B, L, H, W = dog.shape
     S = L - 2
     Wo = -(-W // 128) * 128
@@ -151,40 +199,47 @@ def _detect_scores_impl(dog, *, ylo, yhi, thr, edge_r, interpret):
     )
     kern = functools.partial(
         _kernel, S=S, nty=nty, TH=TH, Wo=Wo, W=W,
-        ylo=ylo, yhi=yhi, thr=thr, edge_r=edge_r,
+        ylo=ylo, yhi=yhi, thr=thr, edge_r=edge_r, subpixel=subpixel,
     )
     out_spec = pl.BlockSpec(
         (1, 1, TH, Wo), lambda b, s, t: (b, s, t, 0), memory_space=pltpu.VMEM
     )
-    smax, smin = pl.pallas_call(
+    plane = jax.ShapeDtypeStruct((B, S, Hp, Wo), jnp.float32)
+    outs = pl.pallas_call(
         kern,
         grid=(B, S, nty),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=[out_spec, out_spec],
-        out_shape=[
-            jax.ShapeDtypeStruct((B, S, Hp, Wo), jnp.float32),
-            jax.ShapeDtypeStruct((B, S, Hp, Wo), jnp.float32),
-        ],
+        out_specs=[out_spec] * 6,
+        out_shape=[plane] * 6,
         scratch_shapes=[
             pltpu.VMEM((2, 3, TH + 16, Wo + 256), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
+        # 6 output blocks + the double-buffered input slab exceed the 16M
+        # default scoped-vmem budget at 4K-class widths
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
         interpret=interpret,
     )(dogp)
-    return smax, smin
+    return tuple(outs)
 
 
 def detect_scores(dog, cfg, owned_rows=None, interpret: bool = False):
-    """dog: [B, S+2, H, W] DoG volume.  Returns (smax, smin) [B, S, Hp, Wo]
-    masked per-type candidate scores (zero outside the valid region and on
-    the Hp/Wo tile padding).  `owned_rows=(lo, hi)` restricts candidates to
-    rows [lo, hi) — both must be static ints (the spatially-sharded path
-    passes per-shard slab constants)."""
+    """dog: [B, S+2, H, W] DoG volume.  Returns 6 planes [B, S, Hp, Wo]:
+    (smax, smin) masked per-type candidate scores (zero outside the valid
+    region and on the Hp/Wo tile padding) and the dense subpixel-refinement
+    record (val, off_l, off_y, off_x) — the Cramer-solve outputs of EVERY
+    pixel, gathered per winner by the top-k tail (replaces the 19-cell DoG
+    patch gather).  `owned_rows=(lo, hi)` restricts candidates to rows
+    [lo, hi) — both must be static ints (the spatially-sharded path passes
+    per-shard slab constants)."""
     H = dog.shape[2]
     lo, hi = owned_rows if owned_rows is not None else (0, H)
     return _detect_scores_impl(
         dog,
         ylo=max(1, int(lo)), yhi=min(H - 2, int(hi) - 1),
         thr=float(cfg.dog_threshold), edge_r=float(cfg.edge_threshold),
+        subpixel=bool(cfg.subpixel),
         interpret=interpret,
     )

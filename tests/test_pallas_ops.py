@@ -100,14 +100,22 @@ def test_detect_scores_kernel_matches_xla_dense_path():
         for oc in pyr[:2]:
             Hd, Wd = oc.dog.shape[-2:]
             for owned in (None, (5, Hd - 7)):
-                sx, sn = detect._dense_scores_xla(oc.dog, cfg, owned)
-                kx, kn = detect_scores(oc.dog, cfg, owned, interpret=True)
-                He, We = sx.shape[-2:]
-                for a, b in ((sx, kx), (sn, kn)):
+                xla6 = detect._dense_scores_xla(oc.dog, cfg, owned)
+                pls6 = detect_scores(oc.dog, cfg, owned, interpret=True)
+                He, We = xla6[0].shape[-2:]
+                # score planes: bit-identical INCLUDING zeroed tile padding
+                for a, b in zip(xla6[:2], pls6[:2]):
                     a, b = np.asarray(a), np.asarray(b)
                     assert np.array_equal(b[:, :, :He, :We], a)
                     assert b[:, :, He:, :].sum() == 0
                     assert b[:, :, :, We:].sum() == 0
+                # record planes (val/off_l/off_y/off_x): same expressions,
+                # but FMA contraction differs between the fused XLA program
+                # and the kernel, so agreement is to f32 ulps, not bits
+                for a, b in zip(xla6[2:], pls6[2:]):
+                    a = np.asarray(a)[:, :, :Hd, :Wd]
+                    b = np.asarray(b)[:, :, :Hd, :Wd]
+                    np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-6)
 
                 d1 = detect.detect_octave(
                     oc, cfg, 128, owned_rows=owned, scores_impl="xla"
@@ -121,7 +129,12 @@ def test_detect_scores_kernel_matches_xla_dense_path():
                 for f in d1._fields:
                     v1 = np.asarray(getattr(d1, f))[m]
                     v2 = np.asarray(getattr(d2, f))[m]
-                    assert np.array_equal(v1, v2), f
+                    if f in ("mask", "grad_level"):
+                        assert np.array_equal(v1, v2), f
+                    else:  # refined fields: ulp-level FMA divergence
+                        np.testing.assert_allclose(
+                            v1, v2, rtol=2e-4, atol=1e-5, err_msg=f
+                        )
 
 
 def test_grad_stencil_matches_xla_gradient_stack():

@@ -64,3 +64,23 @@ def test_extract_sequence_dp_matches_batched():
     np.testing.assert_array_equal(seq.mask, np.asarray(ref.mask))
     np.testing.assert_allclose(seq.x, np.asarray(ref.x), atol=1e-4)
     np.testing.assert_array_equal(np.asarray(seq.desc), np.asarray(ref.desc))
+
+
+def test_host_resident_feature_store_matches_device():
+    """Beyond the HBM budget the descriptor store lives on host and uploads
+    per frame — identical features and trajectory (bounded device memory for
+    arbitrarily long sequences)."""
+    frames, gt, intr, cfg, mcfg, scfg = _scene(T=6)
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(4, 2), ("data", "spatial"))
+    dev = sequence.extract_sequence_dp(frames, cfg, mesh, chunk=4)
+    host = sequence.extract_sequence_dp(
+        frames, cfg, mesh, chunk=4, desc_hbm_budget=0
+    )
+    assert isinstance(host.desc, np.ndarray) and not isinstance(
+        dev.desc, np.ndarray
+    )
+    np.testing.assert_array_equal(np.asarray(dev.desc), host.desc)
+    r_dev = slam.run_slam(frames, intr, cfg, mcfg, scfg, features=dev)
+    r_host = slam.run_slam(frames, intr, cfg, mcfg, scfg, features=host)
+    np.testing.assert_allclose(r_host.trajectory, r_dev.trajectory, atol=1e-6)
+    assert r_host.keyframe_indices == r_dev.keyframe_indices
