@@ -17,10 +17,12 @@ whole-stage detect_winners cost):
     recall_target 0.99: overlap 0.9948  24.8 ms/iter
 Run: python scripts/approx_recall.py [H W cap]  (solo -- single-tenant TPU)
 
-Measured 2026-08-21 (v5e, 640x480 octave 0, cap 2048, 460k pooled
-candidates — the topk_approx_min 2^18 default change):
-    exact:              overlap 1.0000
-    recall_target 0.97: overlap 0.9995 (cap binds barely at 640)
+Measured 2026-08-21 (v5e, 640x480 octave 0, cap 2048, 921k pooled
+candidates — basis for the topk_approx_min 2^18 default):
+    recall 0.90: overlap 0.9550
+    recall 0.95: overlap 0.9764
+    recall 0.97: overlap 0.9908  (config default)
+    recall 0.99: overlap 0.9971
 """
 
 import sys, time, dataclasses

@@ -39,6 +39,10 @@ def main():
     args = [int(a) for a in sys.argv[1:]]
     B, H, W, K = (args + [4, 480, 640, 2048])[:4] if args else (4, 480, 640, 2048)
     iters = args[4] if len(args) > 4 else 30
+    # the detect pass now emits 6 planes; a deep queue of live outputs at 4K
+    # exhausts HBM, so bound the in-flight set at large volumes
+    if H * W >= 4_000_000:
+        iters = min(iters, 6)
     cfg = SiftConfig(height=H, width=W, max_keypoints=K)
 
     base = fixtures.random_texture(H, W, seed=0, smooth=3)

@@ -93,7 +93,12 @@ class SiftConfig:
     # r1 item 4).
     detect_topk: str = "auto"
     topk_recall: float = 0.97
-    topk_approx_min: int = 1 << 21
+    # 2^18: engages approx at 640x480-octave-0 class pools and above.
+    # Winner-set overlap vs exact at recall 0.97 (scripts/approx_recall.py,
+    # v5e 2026-08-21): 0.9908 at 640x480/oct0 (921k pooled, cap 2048) and
+    # 0.978 at 4K (12.4M pooled, cap 8192) — both clear the BASELINE >= 95%
+    # repeatability bar; exact top-k costs 3-27x more at these sizes.
+    topk_approx_min: int = 1 << 18
 
     # --- orientation ---
     max_orientations: int = 2

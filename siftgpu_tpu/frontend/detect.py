@@ -185,11 +185,18 @@ def _dense_scores_xla(dog: jax.Array, cfg: SiftConfig, owned_rows):
         off_l = off_y = off_x = jnp.zeros_like(vc)
         val = vc
 
-    planes = (s_max, s_min, val, off_l, off_y, off_x)
+    recs = (val, off_l, off_y, off_x)
     if (He, We) != (H, W):
         pad2 = ((0, 0), (0, 0), (0, He - H), (0, We - W))
-        planes = tuple(jnp.pad(p, pad2) for p in planes)
-    return planes
+        s_max = jnp.pad(s_max, pad2)
+        s_min = jnp.pad(s_min, pad2)
+        recs = tuple(jnp.pad(p, pad2) for p in recs)
+    # score planes are ROW-POOLED (matching the Pallas kernel's emission);
+    # the consumer pools the lane pairs
+    rp = lambda p: jax.lax.reduce_window(
+        p, 0.0, jax.lax.max, (1, 1, 2, 1), (1, 1, 2, 1), "VALID"
+    )
+    return (rp(s_max), rp(s_min)) + recs
 
 
 def _pack_corner(s: jax.Array, par: jax.Array) -> jax.Array:
@@ -253,16 +260,19 @@ def _winners_and_records(
         s_max, s_min, r_val, r_ol, r_oy, r_ox = _dense_scores_xla(
             dog, cfg, owned_rows
         )
-    Hs, Ws = s_max.shape[-2:]          # even tile-padded plane dims
+    # score planes arrive ROW-POOLED [B, S, Hs/2, Ws]; records arrive at
+    # full [B, S, Hs(rec), Ws] resolution
+    Hs2, Ws = s_max.shape[-2:]
+    Hs = r_val.shape[-2]
 
-    def pooled(score):
+    def pooled(score):              # remaining lane-pair pool
         return jax.lax.reduce_window(
             score, 0.0, jax.lax.max,
-            window_dimensions=(1, 1, 2, 2), window_strides=(1, 1, 2, 2),
+            window_dimensions=(1, 1, 1, 2), window_strides=(1, 1, 1, 2),
             padding="VALID",
         )
 
-    nb1 = S * (Hs // 2) * (Ws // 2)
+    nb1 = S * Hs2 * (Ws // 2)
     bscore = jnp.concatenate(
         [pooled(s_max).reshape(B, nb1), pooled(s_min).reshape(B, nb1)], axis=1
     )
@@ -287,8 +297,8 @@ def _winners_and_records(
         bidx = jnp.pad(bidx, ((0, 0), (0, cap - k)))
     cand = top > 0.0
     bidx1 = bidx % nb1                               # drop the type axis
-    l = bidx1 // ((Hs // 2) * (Ws // 2)) + 1         # DoG slice index in [1, S]
-    rem = bidx1 % ((Hs // 2) * (Ws // 2))
+    l = bidx1 // (Hs2 * (Ws // 2)) + 1               # DoG slice index in [1, S]
+    rem = bidx1 % (Hs2 * (Ws // 2))
     # winner pixel = block origin + the corner packed in the score mantissa
     corner = jax.lax.bitcast_convert_type(top, jnp.int32) & 3
     py = (rem // (Ws // 2)) * 2 + (corner >> 1)

@@ -130,11 +130,24 @@ def _kernel(
         av = jax.lax.bitcast_convert_type(jnp.abs(v), jnp.int32)
         av = (av & ~3) | par
         zero = jnp.zeros_like(av)
-        omax_ref[0, 0, :, pl.ds(c0, cw)] = jax.lax.bitcast_convert_type(
+        # score planes are emitted ROW-POOLED (max over row pairs via a
+        # sublane-split reshape — Mosaic rejects strided slices, but a
+        # second-minor reshape + reduce is legal): halves the score-plane
+        # HBM traffic and half of the downstream 2x2 reduce_window work
+        # (1.6 ms of the 4K budget).  The winner's within-block corner
+        # already rides in the low mantissa bits, so pooling order doesn't
+        # lose position.  Lane pairs are pooled downstream (detect.py).
+        sm_full = jax.lax.bitcast_convert_type(
             jnp.where(is_max & keep, av, zero), jnp.float32
         )
-        omin_ref[0, 0, :, pl.ds(c0, cw)] = jax.lax.bitcast_convert_type(
+        sn_full = jax.lax.bitcast_convert_type(
             jnp.where(is_min & keep, av, zero), jnp.float32
+        )
+        omax_ref[0, 0, :, pl.ds(c0, cw)] = jnp.max(
+            sm_full.reshape(TH // 2, 2, cw), axis=1
+        )
+        omin_ref[0, 0, :, pl.ds(c0, cw)] = jnp.max(
+            sn_full.reshape(TH // 2, 2, cw), axis=1
         )
 
         # --- dense subpixel-refinement RECORD (detect.refine_records'
@@ -187,9 +200,10 @@ def _detect_scores_impl(dog, *, ylo, yhi, thr, edge_r, subpixel, interpret):
     B, L, H, W = dog.shape
     S = L - 2
     Wo = -(-W // 128) * 128
-    # slab height: two (3, TH+16, Wo+256) f32 buffers within budget
+    # slab height: two (3, TH+16, Wo+256) f32 buffers within budget; TH is a
+    # multiple of 16 so the row-pooled score blocks keep 8-sublane alignment
     th_fit = _WIN_BYTES // (24 * (Wo + 256)) - 16
-    TH = max(8, min(64, (th_fit // 8) * 8, -(-H // 8) * 8))
+    TH = max(16, min(64, (th_fit // 16) * 16, -(-H // 16) * 16))
     nty = -(-H // TH)
     Hp = nty * TH
 
@@ -204,13 +218,18 @@ def _detect_scores_impl(dog, *, ylo, yhi, thr, edge_r, subpixel, interpret):
     out_spec = pl.BlockSpec(
         (1, 1, TH, Wo), lambda b, s, t: (b, s, t, 0), memory_space=pltpu.VMEM
     )
+    half_spec = pl.BlockSpec(
+        (1, 1, TH // 2, Wo), lambda b, s, t: (b, s, t, 0),
+        memory_space=pltpu.VMEM,
+    )
     plane = jax.ShapeDtypeStruct((B, S, Hp, Wo), jnp.float32)
+    half = jax.ShapeDtypeStruct((B, S, Hp // 2, Wo), jnp.float32)
     outs = pl.pallas_call(
         kern,
         grid=(B, S, nty),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=[out_spec] * 6,
-        out_shape=[plane] * 6,
+        out_specs=[half_spec, half_spec] + [out_spec] * 4,
+        out_shape=[half, half] + [plane] * 4,
         scratch_shapes=[
             pltpu.VMEM((2, 3, TH + 16, Wo + 256), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
@@ -226,12 +245,13 @@ def _detect_scores_impl(dog, *, ylo, yhi, thr, edge_r, subpixel, interpret):
 
 
 def detect_scores(dog, cfg, owned_rows=None, interpret: bool = False):
-    """dog: [B, S+2, H, W] DoG volume.  Returns 6 planes [B, S, Hp, Wo]:
-    (smax, smin) masked per-type candidate scores (zero outside the valid
-    region and on the Hp/Wo tile padding) and the dense subpixel-refinement
-    record (val, off_l, off_y, off_x) — the Cramer-solve outputs of EVERY
-    pixel, gathered per winner by the top-k tail (replaces the 19-cell DoG
-    patch gather).  `owned_rows=(lo, hi)` restricts candidates to rows
+    """dog: [B, S+2, H, W] DoG volume.  Returns 6 planes: (smax, smin)
+    ROW-POOLED masked per-type candidate scores [B, S, Hp/2, Wo] (max over
+    row pairs; zero outside the valid region and on tile padding — the
+    consumer pools lane pairs) and the dense subpixel-refinement record
+    (val, off_l, off_y, off_x) [B, S, Hp, Wo] — the Cramer-solve outputs of
+    EVERY pixel, gathered per winner by the top-k tail (replaces the
+    19-cell DoG patch gather).  `owned_rows=(lo, hi)` restricts candidates to rows
     [lo, hi) — both must be static ints (the spatially-sharded path passes
     per-shard slab constants)."""
     H = dog.shape[2]

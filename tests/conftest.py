@@ -106,23 +106,8 @@ def pytest_addoption(parser):
     parser.addoption(
         "--runslow", action="store_true", default=False,
         help="run tests marked slow (full parity/e2e suite; auto-runs under "
-             "4 xdist workers — see pytest_load_initial_conftests)",
+             "4 xdist workers — see the ROOT conftest.py hook)",
     )
-
-
-def pytest_load_initial_conftests(early_config, parser, args):
-    # The FULL suite in one long-lived process reproducibly segfaults inside
-    # XLA:CPU's compile/serialize of the later big 8-device programs — a
-    # cumulative jaxlib bug (crash sites rotate between
-    # backend_compile_and_load and executable (de)serialization; any suite
-    # half passes alone; 125 GB RAM free at crash).  xdist workers give each
-    # test subset a fresh process, which stays below the corruption
-    # threshold — so --runslow defaults to 4 workers unless -n was given.
-    if any(a.startswith("--runslow") for a in args) and not any(
-        a == "-n" or a.startswith("-n") or a.startswith("--numprocesses")
-        for a in args
-    ):
-        args[:] = ["-n", "4"] + args
 
 
 def pytest_configure(config):
