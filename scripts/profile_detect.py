@@ -62,7 +62,7 @@ def main():
     def stage_pool(dogs):
         outs = []
         for d in dogs:
-            s_max, s_min = detect_scores(d, cfg, None)
+            s_max, s_min = detect_scores(d, cfg, None)[:2]
             S = d.shape[1] - 2
             Hs, Ws = s_max.shape[-2:]
             pooled = lambda s: jax.lax.reduce_window(
