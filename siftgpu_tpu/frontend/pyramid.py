@@ -121,31 +121,68 @@ def _edge_extend(x: jax.Array, r: int, nt: int, axis: int) -> jax.Array:
 
 
 def _blur_rows_blocked(x: jax.Array, taps: jax.Array, hi) -> jax.Array:
+    # Same layout discipline as _blur_cols_blocked, for the SUBLANE axis: an
+    # edge-extension concat at row offset r (not 8-sublane-aligned) shuffles
+    # every vreg; an 8-aligned replicated apron is a plain copy, and each
+    # output tile contracts an aligned contiguous row window.
     B, H, W = x.shape
     r = (taps.shape[0] - 1) // 2
-    no = -(-H // _TB)                   # output tiles
-    nt = no + 1                         # input tiles (band spills into one more)
-    ext = _edge_extend(x, r, nt, axis=1).reshape(B, nt, _TB, W)
-    a0, a1 = _band_tiles(taps, x.dtype)
-    y = (
-        jnp.einsum("ij,btjw->btiw", a0, ext[:, :no], precision=hi)
-        + jnp.einsum("ij,btjw->btiw", a1, ext[:, 1 : no + 1], precision=hi)
-    )
-    return y.reshape(B, no * _TB, W)[:, :H]
+    R = -(-r // 8) * 8                  # 8-aligned apron rows
+    no = -(-H // _TB)
+    first = x[:, :1]
+    last = x[:, H - 1 : H]
+    tail = no * _TB + R - H             # window of o=no-1 ends at no*TB+2R
+    xp = jnp.concatenate(
+        [jnp.tile(first, (1, R, 1)), x, jnp.tile(last, (1, tail, 1))],
+        axis=1,
+    )                                   # xp[:, k] = x[:, k - R]
+    # A[j, c] = taps[j - c - R + r] where |j - c - R| <= r
+    WJ = _TB + 2 * R
+    jj = jax.lax.broadcasted_iota(jnp.int32, (WJ, _TB), 0)
+    cc = jax.lax.broadcasted_iota(jnp.int32, (WJ, _TB), 1)
+    d = jj - cc - R + r
+    A = jnp.zeros((WJ, _TB), x.dtype)
+    for k in range(taps.shape[0]):
+        A = A + taps[k].astype(x.dtype) * (d == k)
+    tiles = []
+    for o in range(no):
+        w = jax.lax.slice_in_dim(xp, o * _TB, o * _TB + WJ, axis=1)
+        tiles.append(jnp.einsum("bjw,jc->bcw", w, A, precision=hi))
+    return jnp.concatenate(tiles, axis=1)[:, :H]
 
 
 def _blur_cols_blocked(x: jax.Array, taps: jax.Array, hi) -> jax.Array:
+    # Lane-layout-friendly formulation.  Two traps the earlier versions hit:
+    # a [B, H, nt*TB] -> [B, H, nt, TB] reshape SPLITS the lane dim (whole-
+    # array relayout, 10x+ off bandwidth), and an edge-extension concat at
+    # lane offset r (= tap radius, not 128-aligned) lane-SHIFTS the whole
+    # body.  Here the extension replicates a full 128-lane apron (aligned
+    # concat = plain full-bandwidth copy) and each output tile contracts a
+    # CONTIGUOUS, 128-aligned 3*TB-lane window against one [3*TB, TB] band
+    # matrix; the lane-aligned concat of tiles fuses into the output write.
     B, H, W = x.shape
     r = (taps.shape[0] - 1) // 2
+    assert r <= _TB
     no = -(-W // _TB)
-    nt = no + 1
-    ext = _edge_extend(x, r, nt, axis=2).reshape(B, H, nt, _TB)
-    a0, a1 = _band_tiles(taps, x.dtype)
-    y = (
-        jnp.einsum("bhnj,cj->bhnc", ext[:, :, :no], a0, precision=hi)
-        + jnp.einsum("bhnj,cj->bhnc", ext[:, :, 1 : no + 1], a1, precision=hi)
-    )
-    return y.reshape(B, H, no * _TB)[:, :, :W]
+    first = x[:, :, :1]
+    last = x[:, :, W - 1 : W]
+    tail = no * _TB + 2 * _TB - _TB - W   # window of o=no-1 ends at no*TB+2TB
+    xp = jnp.concatenate(
+        [jnp.tile(first, (1, 1, _TB)), x, jnp.tile(last, (1, 1, tail))],
+        axis=2,
+    )                                      # xp[..., k] = x[..., k - TB]
+    # A[j, c] = taps[j - c - TB + r] where |j - c - TB| <= r
+    jj = jax.lax.broadcasted_iota(jnp.int32, (3 * _TB, _TB), 0)
+    cc = jax.lax.broadcasted_iota(jnp.int32, (3 * _TB, _TB), 1)
+    d = jj - cc - _TB + r
+    A = jnp.zeros((3 * _TB, _TB), x.dtype)
+    for k in range(taps.shape[0]):
+        A = A + taps[k].astype(x.dtype) * (d == k)
+    tiles = []
+    for o in range(no):
+        w = jax.lax.slice_in_dim(xp, o * _TB, o * _TB + 3 * _TB, axis=2)
+        tiles.append(jnp.einsum("bhj,jc->bhc", w, A, precision=hi))
+    return jnp.concatenate(tiles, axis=2)[:, :, :W]
 
 
 def _blur_matmul(x: jax.Array, taps: jax.Array, precision: str) -> jax.Array:
@@ -190,15 +227,19 @@ def blur_separable(
     return _conv1d(_conv1d(x, t, 2), t, 1)
 
 
-def _decimate_axis_matmul(x: jax.Array, axis: int) -> jax.Array:
-    """Exact even-index selection along `axis` as a one-hot matmul (MXU).
+def _decimate_axis_matmul(x: jax.Array, axis: int,
+                          precision: str = "highest") -> jax.Array:
+    """Even-index selection along `axis` as a one-hot matmul (MXU).
 
     A 0/1 selection matrix at HIGHEST precision reproduces x[::2] bit-for-bit
-    (each output is 1.0 * x[2i] + zeros).  2.5 ms (reduce_window) -> ~0.05 ms
-    at 4K: strided memory ops are slow on TPU, one-hot matmuls are free."""
+    (each output is 1.0 * x[2i] + zeros); strided memory ops are slow on TPU,
+    one-hot matmuls are fast.  At "high" the selection passes through the
+    3-term bf16 split (~2^-16 relative error) — the same error class the
+    pyramid's HIGH blurs already carry, at half the MXU passes (the v5e has
+    no native f32 matmul; f32 is emulated by bf16 passes)."""
     n = x.shape[axis]
     n_out = (n + 1) // 2
-    hi = jax.lax.Precision.HIGHEST
+    hi = _PRECISIONS[precision]
     if n <= _BLOCK_MIN:
         ii = jax.lax.broadcasted_iota(jnp.int32, (n_out, n), 0)
         jj = jax.lax.broadcasted_iota(jnp.int32, (n_out, n), 1)
@@ -222,7 +263,8 @@ def _decimate_axis_matmul(x: jax.Array, axis: int) -> jax.Array:
     return y.reshape(x.shape[0], x.shape[1], nt * _TB)[:, :, :n_out]
 
 
-def downsample2x(x: jax.Array, force=None) -> jax.Array:
+def downsample2x(x: jax.Array, force=None,
+                 precision: str = "highest") -> jax.Array:
     """Top-left 2x decimation (matches oracle `gauss[S][::2, ::2]`).
 
     Accelerators: exact one-hot selection matmuls (see
@@ -232,7 +274,9 @@ def downsample2x(x: jax.Array, force=None) -> jax.Array:
     consumer; both paths pick the identical top-left element."""
     mode = force or ("matmul" if _use_matmul_blur() else "window")
     if mode == "matmul":
-        return _decimate_axis_matmul(_decimate_axis_matmul(x, 1), 2)
+        return _decimate_axis_matmul(
+            _decimate_axis_matmul(x, 1, precision), 2, precision
+        )
     return jax.lax.reduce_window(
         x, -jnp.inf, jax.lax.max,
         window_dimensions=(1, 1, 1), window_strides=(1, 2, 2), padding="VALID",
@@ -273,5 +317,5 @@ def build_pyramid(images: jax.Array, cfg: SiftConfig) -> Tuple[Octave, ...]:
         gauss = jnp.stack(levels, axis=1)          # [B, S+3, H, W]
         dog = gauss[:, 1:] - gauss[:, :-1]         # [B, S+2, H, W]
         octaves.append(Octave(gauss=gauss, dog=dog))
-        base = downsample2x(levels[cfg.dog_levels])
+        base = downsample2x(levels[cfg.dog_levels], precision=prec)
     return tuple(octaves)
