@@ -13,7 +13,7 @@ must be projected:
      collective-permute in the optimized HLO is parsed (kind + shape + dtype)
      and converted to bytes crossing ICI per pipeline step.
   3. **Projected N-host efficiency**: measured single-chip step time
-     (BENCH_r01.json protocol) against a comm-time estimate at ICI/DCN
+     (BENCH r3 protocol) against a comm-time estimate at ICI/DCN
      bandwidth.  eff(N) = t_compute / (t_compute/S + t_comm) with S the
      structural speedup from (1).
 
@@ -182,9 +182,9 @@ def measure_dist_ba(ns=(1, 2, 4, 8), iters=4, n_cg=15):
 
 def project_efficiency(ext_rows, ba_rows):
     """Projected N-host frames/s efficiency from measured structure +
-    single-chip step times (BENCH_r01.json: 640x480 extract ~5 ms/frame
+    single-chip step times (BENCH r3: 640x480 extract ~4 ms/frame
     queue-amortized; windowed BA ~ a few ms per keyframe window)."""
-    t_frame = 5.2e-3        # s, one v5e chip, 640x480 b4 (BENCH_r01 protocol)
+    t_frame = 4.0e-3        # s, one v5e chip, 640x480 b4 (BENCH r3: 16.0 ms/iter / 4 frames)
     base = ext_rows[0]["flops_per_device"]
     proj = []
     for r in ext_rows:
@@ -219,11 +219,11 @@ def main():
                 "virtual CPU mesh shares one host's cores: wall-clock cannot "
                 "show speedup; structural columns (per-device FLOPs, "
                 "collective bytes) are the measured quantities, efficiency "
-                "is projected with BENCH_r01 single-chip times + ICI/DCN "
+                "is projected with BENCH r3 single-chip times + ICI/DCN "
                 "bandwidth-latency model"
             ),
             ici_bw_Bps=ICI_BW, dcn_bw_Bps=DCN_BW,
-            single_chip_frame_s=5.2e-3,
+            single_chip_frame_s=4.0e-3,
         ),
         extraction_weak_scaling=ext,
         dist_ba_strong_scaling=bar,
@@ -244,7 +244,7 @@ def main():
         "the *structure* that determines scaling on real hardware: per-device",
         "work under weak scaling and bytes crossing the interconnect, then it",
         "projects efficiency with the measured single-chip step time",
-        f"(BENCH_r01: 5.2 ms/frame at 640×480) and an ICI ({ICI_BW/1e9:.0f} GB/s,"
+        f"(BENCH r3: 4.0 ms/frame at 640×480) and an ICI ({ICI_BW/1e9:.0f} GB/s,"
         f" 1 µs/hop) / DCN ({DCN_BW/1e9:.1f} GB/s, 10 µs/hop) cost model.",
         "",
         "## Data-parallel extraction (weak scaling, 2 frames/device)",
@@ -288,11 +288,11 @@ def main():
         "replicated, points shard-local) crosses the interconnect once per CG",
         "iteration (`optim/ba.py` psum_axis).",
         "",
-        "## Single-chip absolutes (real v5e, BENCH_r01 protocol)",
+        "## Single-chip absolutes (real v5e, BENCH r3 protocol)",
         "",
         "| config | ms/frame | frames/s |",
         "|---|---|---|",
-        "| 640×480, batch 4, 8192 kp | 5.2 | ~190 |",
+        "| 640×480, batch 4, 8192 kp | 4.0 | ~250 |",
         "| 1080p, 4096 kp | 15.3 | 65.3 |",
         "| 4K, 8192 kp | 38.1 | 26.3 |",
     ]

@@ -245,13 +245,15 @@ class MatchConfig:
     # > 0: stream d1 in column blocks of this size (never materializing the
     # [N0, N1] similarity matrix) when N1 exceeds it — for descriptor sets
     # far beyond SetMaxSift's ~8k.  0 = AUTO: the streaming path engages
-    # with `stream_block` columns whenever N1 > `stream_threshold` (the
-    # dense [N0, N1] f32 similarity + argmax passes start losing to the
-    # scan's locality around there, and the buffer alone is >= 1 GB at
-    # 16k x 16k); below it the dense path is untouched.  -1 = always dense.
+    # with `stream_block` columns whenever N1 > `stream_threshold`; below it
+    # the dense path is untouched.  -1 = always dense.
+    # Measured v5e (scripts/bench_match_stream.py, 2026-08-21, ms/pair,
+    # dense vs best stream): 4k 3.3/3.7, 8k 8.2/6.9, 16k 13.2/10.6 (dense
+    # similarity buffer 1 GB), 32k -/33.1 (dense buffer would be 4 GB) —
+    # streaming wins from 8k-class sets and block 1024 is the sweet spot.
     block_size: int = 0
-    stream_threshold: int = 8192   # auto-engage above SetMaxSift's ~8k cap
-    stream_block: int = 4096       # measured v5e sweet spot (scripts/bench_match_stream.py)
+    stream_threshold: int = 4096
+    stream_block: int = 1024
 
     def replace(self, **kw) -> "MatchConfig":
         return dataclasses.replace(self, **kw)

@@ -195,8 +195,8 @@ def test_auto_streaming_policy_matches_dense():
     dense = MatchConfig(max_sift=N, max_match=N, block_size=-1)
     assert _effective_block(auto, N) == 128
     assert _effective_block(dense, N) == 0
-    assert _effective_block(MatchConfig(), 4096) == 0    # below default 8k
-    assert _effective_block(MatchConfig(), 16384) == 4096  # above -> stream
+    assert _effective_block(MatchConfig(), 4096) == 0    # at default threshold
+    assert _effective_block(MatchConfig(), 16384) == 1024  # above -> stream
     import jax as _jax
 
     ra = _jax.jit(lambda a, b: match_descriptors_impl(a, b, cfg=auto))(d0, d1)
