@@ -37,7 +37,7 @@ from siftgpu_tpu.frontend import detect
 from siftgpu_tpu.oracle import fixtures, sift_cpu
 
 _args = [int(a) for a in sys.argv[1:]]
-H, W, CAP = (_args + [2160, 3840, 8192])[:3] if _args else (2160, 3840, 8192)
+H, W, CAP = _args + [2160, 3840, 8192][len(_args):]
 img = fixtures.random_texture(H, W, seed=5, smooth=2)
 cfg0 = SiftConfig(height=H, width=W, max_keypoints=CAP)
 base = sift_cpu.convolve_sep(img.astype(np.float32), cfg0.gaussian_taps(cfg0.initial_blur_sigma()))

@@ -146,44 +146,18 @@ def _dense_scores_xla(dog: jax.Array, cfg: SiftConfig, owned_rows):
     s_max = _pack_corner(jnp.abs(v) * (is_max & base_keep), par[None, None])
     s_min = _pack_corner(jnp.abs(v) * (is_min & base_keep), par[None, None])
 
-    # --- dense subpixel-refinement record (same f32 expressions as the
-    # Pallas kernel / the retired gather-based refine_patches) ---
+    # --- dense subpixel-refinement record (shared `cramer_record`: ONE
+    # expression graph for this mirror and the Pallas kernel, so their
+    # ulp-level agreement cannot drift) ---
+    from ..ops.detect_scores import cramer_record
+
     dgp = jnp.pad(dog.astype(jnp.float32), ((0, 0), (0, 0), (1, 1), (1, 1)))
 
     def q(dl, dy, dx):
         return dgp[:, 1 + dl : 1 + dl + S, 1 + dy : 1 + dy + H,
                    1 + dx : 1 + dx + W]
 
-    vc = v.astype(jnp.float32)
-    if cfg.subpixel:
-        gl = 0.5 * (q(1, 0, 0) - q(-1, 0, 0))
-        gy = 0.5 * (q(0, 1, 0) - q(0, -1, 0))
-        gx = 0.5 * (q(0, 0, 1) - q(0, 0, -1))
-        a = q(1, 0, 0) + q(-1, 0, 0) - 2 * vc
-        d = q(0, 1, 0) + q(0, -1, 0) - 2 * vc
-        f = q(0, 0, 1) + q(0, 0, -1) - 2 * vc
-        b_ = 0.25 * (q(1, 1, 0) - q(1, -1, 0) - q(-1, 1, 0) + q(-1, -1, 0))
-        c_ = 0.25 * (q(1, 0, 1) - q(1, 0, -1) - q(-1, 0, 1) + q(-1, 0, -1))
-        e_ = 0.25 * (q(0, 1, 1) - q(0, 1, -1) - q(0, -1, 1) + q(0, -1, -1))
-        detH = (
-            a * (d * f - e_ * e_) - b_ * (b_ * f - c_ * e_)
-            + c_ * (b_ * e_ - c_ * d)
-        )
-        ok_det = jnp.abs(detH) > 1e-12
-        inv_det = jnp.where(ok_det, 1.0 / jnp.where(ok_det, detH, 1.0), 0.0)
-        i00 = d * f - e_ * e_
-        i01 = c_ * e_ - b_ * f
-        i02 = b_ * e_ - c_ * d
-        i11 = a * f - c_ * c_
-        i12 = b_ * c_ - a * e_
-        i22 = a * d - b_ * b_
-        off_l = -(i00 * gl + i01 * gy + i02 * gx) * inv_det
-        off_y = -(i01 * gl + i11 * gy + i12 * gx) * inv_det
-        off_x = -(i02 * gl + i12 * gy + i22 * gx) * inv_det
-        val = vc + 0.5 * (gl * off_l + gy * off_y + gx * off_x)
-    else:
-        off_l = off_y = off_x = jnp.zeros_like(vc)
-        val = vc
+    val, off_l, off_y, off_x = cramer_record(q, bool(cfg.subpixel))
 
     recs = (val, off_l, off_y, off_x)
     if (He, We) != (H, W):

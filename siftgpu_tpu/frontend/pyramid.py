@@ -81,45 +81,6 @@ _PRECISIONS = {
 }
 
 
-def _band_tiles(taps: jax.Array, dtype):
-    """Two [TB, TB] constants (A0, A1) for the tiled banded product.
-
-    With the input edge-extended by r and tiled into NON-overlapping TB-row
-    tiles X_o (a pure reshape — overlapping-slice stacks cost ~19 ms per 4K
-    blur), output tile o is  A0 @ X_o + A1 @ X_{o+1}:
-      A0[i, j] = taps[j - i]        for 0 <= j - i <= 2r
-      A1[i, j] = taps[TB + j - i]   (the band wrapping into the next tile)
-    Identical nonzero terms to the full band matrix, ~TB/(2r) x fewer FLOPs.
-    """
-    r = (taps.shape[0] - 1) // 2
-    ii = jax.lax.broadcasted_iota(jnp.int32, (_TB, _TB), 0)
-    jj = jax.lax.broadcasted_iota(jnp.int32, (_TB, _TB), 1)
-    d0 = jj - ii
-    d1 = d0 + _TB
-    a0 = jnp.zeros((_TB, _TB), dtype)
-    a1 = jnp.zeros((_TB, _TB), dtype)
-    for k in range(taps.shape[0]):
-        t = taps[k].astype(dtype)
-        a0 = a0 + t * (d0 == k)
-        a1 = a1 + t * (d1 == k)
-    return a0, a1
-
-
-def _edge_extend(x: jax.Array, r: int, nt: int, axis: int) -> jax.Array:
-    """Edge-replicate r entries at the front/back of `axis`, zero-pad to
-    nt * TB total so the result reshapes into non-overlapping tiles."""
-    n = x.shape[axis]
-    first = jax.lax.slice_in_dim(x, 0, 1, axis=axis)
-    last = jax.lax.slice_in_dim(x, n - 1, n, axis=axis)
-    reps = [1, 1, 1]
-    reps[axis] = r
-    parts = [jnp.tile(first, reps), x, jnp.tile(last, reps)]
-    ext = jnp.concatenate(parts, axis=axis)
-    pad = [(0, 0)] * 3
-    pad[axis] = (0, nt * _TB - ext.shape[axis])
-    return jnp.pad(ext, pad)
-
-
 def _blur_rows_blocked(x: jax.Array, taps: jax.Array, hi) -> jax.Array:
     # Same layout discipline as _blur_cols_blocked, for the SUBLANE axis: an
     # edge-extension concat at row offset r (not 8-sublane-aligned) shuffles
@@ -317,5 +278,10 @@ def build_pyramid(images: jax.Array, cfg: SiftConfig) -> Tuple[Octave, ...]:
         gauss = jnp.stack(levels, axis=1)          # [B, S+3, H, W]
         dog = gauss[:, 1:] - gauss[:, :-1]         # [B, S+2, H, W]
         octaves.append(Octave(gauss=gauss, dog=dog))
-        base = downsample2x(levels[cfg.dog_levels], precision=prec)
+        # decimation stays at its default HIGHEST precision: the obo and
+        # spatially-sharded builders decimate the same level, and all paths
+        # must produce identical octave bases (measured: the cheaper 3-pass
+        # selection bought nothing here anyway — decimation is not
+        # MXU-pass-bound)
+        base = downsample2x(levels[cfg.dog_levels])
     return tuple(octaves)

@@ -94,6 +94,11 @@ def extract_sequence_dp(
     chunk = max(n, (chunk // n) * n)
     frames = np.asarray(frames)
 
+    # residency decided UP FRONT so peak device memory stays bounded: in
+    # host mode each chunk's descriptors are pulled (and their device
+    # buffers freed) before the next chunk extracts — the store never
+    # accumulates on device
+    host_mode = T * cfg.max_keypoints * 128 > desc_hbm_budget
     descs, masks_d, xs, ys, ms = [], [], [], [], []
     for lo in range(0, T, chunk):
         t0 = _time.perf_counter()
@@ -103,8 +108,12 @@ def extract_sequence_dp(
             blk = np.concatenate([blk, np.repeat(blk[-1:], pad, axis=0)])
         feats = dp.extract_features_dp(jnp.asarray(blk), cfg, mesh, axis=axis)
         keep = len(blk) - pad
-        descs.append(feats.desc[:keep])
-        masks_d.append(feats.mask[:keep])
+        if host_mode:
+            descs.append(np.asarray(feats.desc[:keep]))
+            masks_d.append(np.asarray(feats.mask[:keep]))
+        else:
+            descs.append(feats.desc[:keep])
+            masks_d.append(feats.mask[:keep])
         x_h, y_h, m_h = jax.device_get(
             (feats.x[:keep], feats.y[:keep], feats.mask[:keep])
         )
@@ -115,16 +124,9 @@ def extract_sequence_dp(
             "extract_chunk", lo=lo, frames=keep, devices=n,
             kp=int(m_h.sum()), ms=(_time.perf_counter() - t0) * 1e3,
         )
-    K = descs[0].shape[1]
-    if T * K * 128 > desc_hbm_budget:
-        # host residency: device copies are freed once pulled
-        desc = np.concatenate([np.asarray(d) for d in descs])
-        mask_dev = np.concatenate([np.asarray(m) for m in masks_d])
-    else:
-        desc = jnp.concatenate(descs)
-        mask_dev = jnp.concatenate(masks_d)
+    cat = np.concatenate if host_mode else jnp.concatenate
     return SequenceFeatures(
-        desc=desc, mask_dev=mask_dev,
+        desc=cat(descs), mask_dev=cat(masks_d),
         x=np.concatenate(xs), y=np.concatenate(ys), mask=np.concatenate(ms),
     )
 

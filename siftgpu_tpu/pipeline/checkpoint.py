@@ -81,6 +81,25 @@ def save_slam_state(path: str, res: slam_mod.SlamResult, next_frame: int,
             kfw_desc=np.stack([np.asarray(k.kp["desc"]) for k in win[-2:]]),
             kfw_n_desc=np.asarray(min(2, len(win)), np.int64),
         )
+        # loop-closure archive: retired keyframes' host descriptors and the
+        # fields detect_loop's dual PnP reads — persisting them lets a
+        # resumed run still close loops against pre-checkpoint keyframes
+        arch = [
+            (i, k) for i, k in enumerate(keyframes)
+            if isinstance(getattr(k, "kp", None), dict)
+            and k.kp.get("desc_host") is not None
+        ]
+        if arch:
+            payload.update(
+                arch_pos=np.asarray([i for i, _ in arch], np.int64),
+                arch_desc=np.stack([k.kp["desc_host"] for _, k in arch]),
+                arch_mask=np.stack([np.asarray(k.kp["mask"]) for _, k in arch]),
+                arch_x=np.stack([np.asarray(k.kp["x"]) for _, k in arch]),
+                arch_y=np.stack([np.asarray(k.kp["y"]) for _, k in arch]),
+                arch_pt_ids=np.stack(
+                    [np.asarray(k.pt_ids, np.int64) for _, k in arch]
+                ),
+            )
         # legacy single-keyframe fields (round-2 format) for older readers
         last = keyframes[-1]
         payload.update(

@@ -199,11 +199,12 @@ def run_slam(frames, intr, cfg, mcfg, scfg: SlamConfig,
     traj = np.zeros((T, 6), np.float32)
     tracked: List[int] = []
     vel = np.zeros(6, np.float32)  # constant-velocity tracker state
-    loop_edges: List[tuple] = []   # measured (kf_i, kf_j, rel_twist, weight)
-    # loop-closure archive: keyframe list index -> (desc, mask) host copies,
-    # populated when a keyframe's device buffers retire (desc would otherwise
-    # be gone; host RAM is the right home for the revisit database)
-    kf_archive: dict = {}
+    loop_edges: List[tuple] = []   # measured (kf_i, kf_j, rel_sim3, weight)
+    # loop-closure archive: when a keyframe's device buffers retire, its
+    # descriptors drop to a HOST copy stored on the keyframe itself
+    # (kp["desc_host"]) — host RAM is the right home for the revisit
+    # database, and riding on the Keyframe means checkpoints persist it
+    # (a resumed run can still close loops against pre-checkpoint keyframes)
 
     def extract(t):
         if features is not None:
@@ -313,12 +314,10 @@ def run_slam(frames, intr, cfg, mcfg, scfg: SlamConfig,
         # the last two are): HBM stays flat over arbitrarily long runs
         # (VERDICT r1 weak #1); host copies (x, y, pt_ids) remain for BA.
         # Retiring descriptors drop to the host-side loop-closure archive.
-        for pos, old in enumerate(keyframes[:-2]):
+        for old in keyframes[:-2]:
             if old.feats is not None:
                 if scfg.loop_closure and old.kp.get("desc") is not None:
-                    kf_archive[pos] = (
-                        np.asarray(old.kp["desc"]), np.asarray(old.kp["mask"])
-                    )
+                    old.kp["desc_host"] = np.asarray(old.kp["desc"])
                 old.feats = None
                 old.kp["desc"] = None
         if scfg.loop_closure:
@@ -334,20 +333,22 @@ def run_slam(frames, intr, cfg, mcfg, scfg: SlamConfig,
         carries exactly the information windowed BA lost."""
         n_new = len(keyframes) - 1
         cand = sorted(
-            i for i in kf_archive
-            if n_new - i >= scfg.loop_kf_gap
-            and kf.frame_idx - keyframes[i].frame_idx >= scfg.loop_min_frame_gap
+            i for i, k in enumerate(keyframes)
+            if k.kp.get("desc_host") is not None
+            and n_new - i >= scfg.loop_kf_gap
+            and kf.frame_idx - k.frame_idx >= scfg.loop_min_frame_gap
         )
         if not cand:
             return
-        d0, m0 = kf_archive[cand[0]]
+        d0 = keyframes[cand[0]].kp["desc_host"]
         C = 1
         while C < len(cand):
             C *= 2  # capacity bucket: stable shapes -> few recompiles
         arch_d = np.zeros((C,) + d0.shape, d0.dtype)
-        arch_m = np.zeros((C, m0.shape[0]), bool)
+        arch_m = np.zeros((C, d0.shape[0]), bool)
         for s, i in enumerate(cand):
-            arch_d[s], arch_m[s] = kf_archive[i]
+            arch_d[s] = keyframes[i].kp["desc_host"]
+            arch_m[s] = np.asarray(keyframes[i].kp["mask"])
         pairs_d, counts_d = _loop_match_jit(
             jnp.asarray(arch_d), jnp.asarray(arch_m),
             kf.kp["desc"], jnp.asarray(kf.kp["mask"]), mcfg,
@@ -463,7 +464,10 @@ def run_slam(frames, intr, cfg, mcfg, scfg: SlamConfig,
         sequential loop."""
         nonlocal vel
         t = t0
-        pending = None  # (frame, results) — dispatched against current kf_stack
+        # speculative dispatch against the current kf_stack: live path
+        # stores (frame, (feats, pairs, counts)); pre-extracted path stores
+        # (frame, feats, (pairs, counts))
+        pending = None
         kf_stack = None  # (n_keyframes, d_kf, m_kf) — rebuilt on insertion
         while t < T:
             kf = keyframes[-1]
@@ -494,10 +498,13 @@ def run_slam(frames, intr, cfg, mcfg, scfg: SlamConfig,
                 )
                 kpt = dict(x=kx, y=ky, desc=ft.desc[0], mask=km)
             else:  # pre-extracted sequence: match-only dispatch
-                ft = extract(t)
                 if pending is not None and pending[0] == t:
-                    pairs_dev, counts_dev = pending[1]
+                    # reuse the speculatively-fetched features too (in
+                    # host-resident store mode `extract` re-uploads
+                    # descriptors — don't pay that twice per frame)
+                    ft, (pairs_dev, counts_dev) = pending[1], pending[2]
                 else:
+                    ft = extract(t)
                     pairs_dev, counts_dev = _match_kf_jit(
                         d_kf, m_kf, ft.desc[0], ft.mask[0], mcfg
                     )
@@ -508,7 +515,7 @@ def run_slam(frames, intr, cfg, mcfg, scfg: SlamConfig,
                 # invalidated on keyframe insertion (VERDICT r2 missing #3)
                 if t + 1 < T:
                     ft1 = extract(t + 1)
-                    pending = (t + 1, _match_kf_jit(
+                    pending = (t + 1, ft1, _match_kf_jit(
                         d_kf, m_kf, ft1.desc[0], ft1.mask[0], mcfg
                     ))
                 # the ONE blocking transfer for this frame
@@ -625,8 +632,10 @@ def run_slam(frames, intr, cfg, mcfg, scfg: SlamConfig,
 
         if "kfw_frame_idx" in d:
             win_idx = [int(i) for i in d["kfw_frame_idx"]]
-            # retired keyframes (older than the window): stubs carrying only
-            # identity + pose — nothing downstream reads their keypoints
+            # retired keyframes (older than the window): stubs carrying
+            # identity + pose; the loop-closure archive below re-attaches
+            # their host descriptors/keypoints so revisit detection keeps
+            # working across a resume
             for fi in [int(i) for i in d["keyframe_indices"]]:
                 if fi not in win_idx:
                     keyframes.append(Keyframe(
@@ -652,6 +661,18 @@ def run_slam(frames, intr, cfg, mcfg, scfg: SlamConfig,
                             desc=desc, mask=d["kfw_mask"][i]),
                     pt_ids=d["kfw_pt_ids"][i].copy(),
                 ))
+            # re-attach the loop-closure archive (retired keyframes' host
+            # descriptors + keypoints) so revisit detection keeps working
+            # against pre-checkpoint keyframes
+            if "arch_pos" in d:
+                for s, pos in enumerate(int(i) for i in d["arch_pos"]):
+                    k = keyframes[pos]
+                    k.kp["desc_host"] = d["arch_desc"][s]
+                    k.kp["mask"] = d["arch_mask"][s]
+                    k.kp["x"] = d["arch_x"][s]
+                    k.kp["y"] = d["arch_y"][s]
+                    if k.pt_ids.size == 0:
+                        k.pt_ids = d["arch_pt_ids"][s].copy()
         else:  # legacy round-2 single-keyframe checkpoint
             feats_shim = types.SimpleNamespace(
                 desc=jnp.asarray(d["kf_desc"])[None],

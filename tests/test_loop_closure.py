@@ -82,3 +82,30 @@ def test_loop_detected_and_pose_graph_reduces_ate():
         f"pose graph did not reduce drift: {ate_ref} vs {ate_plain}"
     )
     assert ate_ref < 0.08 * span, (ate_ref, span)
+
+
+def test_loop_closure_survives_resume(tmp_path):
+    """The revisit archive (retired keyframes' host descriptors) is
+    checkpointed: a run resumed BEFORE the revisit must still detect the
+    loop against pre-checkpoint keyframes and produce the uninterrupted
+    run's edges."""
+    from siftgpu_tpu.pipeline import checkpoint
+
+    frames, gt, intr, cfg, mcfg, scfg = _loop_scene()
+    full = slam.run_slam(frames, intr, cfg, mcfg, scfg)
+    assert full.loop_edges
+
+    Tc = 13  # out-leg only: no revisit has happened yet
+    part = slam.run_slam(frames[:Tc], intr, cfg, mcfg, scfg)
+    p = str(tmp_path / "ckpt.npz")
+    checkpoint.save_slam_state(p, part, next_frame=Tc, kf_window=scfg.kf_window)
+    resumed = slam.run_slam(
+        frames, intr, cfg, mcfg, scfg, resume=checkpoint.load_slam_state(p)
+    )
+    assert [(e[0], e[1]) for e in resumed.loop_edges] == [
+        (e[0], e[1]) for e in full.loop_edges
+    ], "resume lost the loop-closure archive"
+    np.testing.assert_allclose(
+        np.stack([e[2] for e in resumed.loop_edges]),
+        np.stack([e[2] for e in full.loop_edges]), atol=1e-4,
+    )
