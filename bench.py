@@ -100,7 +100,7 @@ def main() -> None:
     # round-over-round (the r02 "match regression" — 3.8 -> 6.0 ms with
     # unchanged code — reproduced at 2.4 ms the next day), and the min over
     # a few deep-queue reps is the honest steady-state of the device.
-    iters, REPS = 40, 3
+    iters, REPS = 40, 5
     reps_ex, reps_match = [], []
     for _ in range(REPS):
         t0 = time.perf_counter()
