@@ -3,8 +3,9 @@
 TPU-native replacement for the reference's texture-pyramid build loop
 (`PyramidCU::BuildPyramid` / `ProgramCU::FilterH/FilterV`, SURVEY.md §3.1 hot
 loop 1 ⚠).  One XLA path instead of four shader backends: separable Gaussian
-blurs as `lax.conv_general_dilated` with replicate padding, octave o+1 seeded by
-2x decimation of Gaussian level S.  Filter taps come from
+blurs as layout-aligned banded matmuls on accelerators (`lax.conv` with
+replicate padding on CPU — C=1 convs run ~30x off bandwidth on TPU), octave
+o+1 seeded by 2x decimation of Gaussian level S.  Filter taps come from
 `core.scalespace.gaussian_taps` — the same NumPy taps the CPU oracle convolves
 with, so pyramid parity is exact up to float associativity.
 
