@@ -5,6 +5,8 @@ Subcommands mirror the reference's demo binaries:
   match     -> SimpleSIFT.cpp's matching half (extract 2 images, match, print)
   speed     -> speed.cpp (repeat RunSIFT, report ms + Hz)
   twoview   -> two-view SfM (config 4): E, pose, BA rms
+  slam      -> monocular SLAM over an image sequence (keyframes, windowed
+               BA, loop closure); --traj writes a TUM-format trajectory
   dump      -> TestWinGlut viewer analog: write every pyramid stage
                (gaussian / DoG / gradient magnitude) as PGM files for
                inspection (§2.2 "GLUT viewer" row)
@@ -276,11 +278,75 @@ def cmd_serve(argv):
     return 0
 
 
+def cmd_slam(argv):
+    """Monocular SLAM over an ordered image sequence (the north-star back
+    end, BASELINE config 5's single-chip form): tracking + keyframes +
+    windowed BA + loop closure; writes a TUM-format trajectory that the
+    standard ATE/RPE evaluation tools consume."""
+    flags_argv, rest = _split_flags(argv)
+    p = argparse.ArgumentParser(prog="slam")
+    p.add_argument("images", nargs="+",
+                   help="image files in order, or ONE .npy of [T, H, W]")
+    p.add_argument("--focal", type=float, required=True)
+    p.add_argument("--traj", default=None,
+                   help="write the trajectory here (TUM format)")
+    p.add_argument("--checkpoint", default=None,
+                   help="periodic crash-recovery snapshots (atomic NPZ)")
+    p.add_argument("--resume", action="store_true",
+                   help="resume from --checkpoint (exact replay)")
+    p.add_argument("--metrics", default=None, help="JSONL metrics stream")
+    p.add_argument("--kf-window", type=int, default=4)
+    p.add_argument("--no-loop", action="store_true",
+                   help="disable loop-closure detection")
+    a = p.parse_args(rest)
+
+    if len(a.images) == 1 and a.images[0].endswith(".npy"):
+        frames = np.load(a.images[0]).astype(np.float32)
+    else:
+        frames = np.stack([imio.load_image(f) for f in a.images])
+    T, H, W = frames.shape
+
+    from ..core.config import MatchConfig
+    from . import checkpoint as ckpt_mod
+    from . import metrics as metrics_mod
+    from . import slam as slam_mod
+
+    s = SiftTPU(argv=flags_argv)
+    cfg = s.config_for(H, W)
+    scfg = slam_mod.SlamConfig(kf_window=a.kf_window,
+                               loop_closure=not a.no_loop)
+    intr = (a.focal, a.focal, W / 2.0, H / 2.0)
+    ml = metrics_mod.MetricsLogger(a.metrics) if a.metrics else None
+    resume = (
+        ckpt_mod.load_slam_state(a.checkpoint)
+        if a.resume and a.checkpoint else None
+    )
+    t0 = time.perf_counter()
+    res = slam_mod.run_slam(
+        frames, intr, cfg, MatchConfig(max_match=cfg.max_keypoints), scfg,
+        metrics=ml, checkpoint_path=a.checkpoint, resume=resume,
+    )
+    dt = time.perf_counter() - t0
+    print(
+        f"{T} frames in {dt:.1f}s ({T / dt:.1f} fps incl. compile): "
+        f"{len(res.keyframe_indices)} keyframes, "
+        f"{int(res.map_mask.sum())} map points, "
+        f"{len(res.loop_edges or [])} loop closures"
+    )
+    if a.traj:
+        from . import siftio
+
+        siftio.save_trajectory_tum(a.traj, res.trajectory)
+        print(f"wrote {a.traj} (TUM format)")
+    return 0
+
+
 _COMMANDS = {
     "extract": cmd_extract,
     "match": cmd_match,
     "speed": cmd_speed,
     "twoview": cmd_twoview,
+    "slam": cmd_slam,
     "dump": cmd_dump,
     "serve": cmd_serve,
 }

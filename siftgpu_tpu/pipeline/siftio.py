@@ -21,6 +21,7 @@ import struct
 import numpy as np
 
 __all__ = [
+    "save_trajectory_tum",
     "write_lowe_ascii", "read_lowe_ascii",
     "write_binary_sift", "read_binary_sift",
     "save_feature_store", "load_feature_store",
@@ -101,3 +102,63 @@ def save_feature_store(path: str, feats, frame_ids=None) -> None:
 def load_feature_store(path: str) -> dict:
     with np.load(path) as z:
         return {k: z[k] for k in z.files}
+
+
+# ---------------- trajectory export (SLAM back end) ----------------
+
+def _quat_from_rotation(R: np.ndarray) -> np.ndarray:
+    """[4] (qx, qy, qz, qw) from a 3x3 rotation matrix (Shepperd's method)."""
+    m00, m11, m22 = R[0, 0], R[1, 1], R[2, 2]
+    tr = m00 + m11 + m22
+    if tr > 0:
+        s = np.sqrt(tr + 1.0) * 2.0
+        w = 0.25 * s
+        x = (R[2, 1] - R[1, 2]) / s
+        y = (R[0, 2] - R[2, 0]) / s
+        z = (R[1, 0] - R[0, 1]) / s
+    elif m00 >= m11 and m00 >= m22:
+        s = np.sqrt(1.0 + m00 - m11 - m22) * 2.0
+        w = (R[2, 1] - R[1, 2]) / s
+        x = 0.25 * s
+        y = (R[0, 1] + R[1, 0]) / s
+        z = (R[0, 2] + R[2, 0]) / s
+    elif m11 >= m22:
+        s = np.sqrt(1.0 + m11 - m00 - m22) * 2.0
+        w = (R[0, 2] - R[2, 0]) / s
+        x = (R[0, 1] + R[1, 0]) / s
+        y = 0.25 * s
+        z = (R[1, 2] + R[2, 1]) / s
+    else:
+        s = np.sqrt(1.0 + m22 - m00 - m11) * 2.0
+        w = (R[1, 0] - R[0, 1]) / s
+        x = (R[0, 2] + R[2, 0]) / s
+        y = (R[1, 2] + R[2, 1]) / s
+        z = 0.25 * s
+    q = np.array([x, y, z, w], np.float64)
+    return q / np.linalg.norm(q)
+
+
+def save_trajectory_tum(path: str, trajectory: np.ndarray,
+                        timestamps=None) -> None:
+    """Write a [T, 6] world->cam twist trajectory in TUM RGB-D format:
+    `timestamp tx ty tz qx qy qz qw` per line, pose of the CAMERA IN THE
+    WORLD frame (center -R^T t, orientation R^T) — the format the standard
+    ATE/RPE evaluation tooling consumes."""
+    import jax.numpy as jnp
+
+    from ..geometry import pose as P
+
+    R, t = P.exp_se3(jnp.asarray(np.asarray(trajectory, np.float32)))
+    R = np.asarray(R)
+    t = np.asarray(t)
+    T = len(trajectory)
+    ts = np.arange(T, dtype=np.float64) if timestamps is None else timestamps
+    with open(path, "w") as f:
+        for k in range(T):
+            Rwc = R[k].T
+            C = -Rwc @ t[k]
+            q = _quat_from_rotation(Rwc)
+            f.write(
+                f"{ts[k]:.6f} {C[0]:.6f} {C[1]:.6f} {C[2]:.6f} "
+                f"{q[0]:.6f} {q[1]:.6f} {q[2]:.6f} {q[3]:.6f}\n"
+            )

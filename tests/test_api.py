@@ -241,3 +241,32 @@ def test_image_list_and_prealloc_flags(tmp_path):
     while s.run_sift():  # consume the whole -il list
         counts.append(s.get_feature_num())
     assert len(counts) == 2 and all(c > 5 for c in counts)
+
+
+def test_cli_slam_subcommand(tmp_path):
+    """`python -m siftgpu_tpu slam`: end-to-end SLAM over an .npy sequence,
+    TUM-format trajectory out."""
+    import numpy as np
+
+    from siftgpu_tpu.oracle import fixtures
+    from siftgpu_tpu.pipeline import cli
+
+    T, H, W = 6, 96, 128
+    intr = (110.0, 110.0, W / 2.0, H / 2.0)
+    frames, _ = fixtures.two_plane_sequence(
+        T, H, W, intr,
+        rvec_step=np.array([0.002, -0.004, 0.001]),
+        t_step=np.array([-0.12, 0.012, 0.006]),
+        d_near=5.0, d_far=10.0, seed=4,
+    )
+    seq = tmp_path / "seq.npy"
+    np.save(seq, frames)
+    traj = tmp_path / "traj.txt"
+    rc = cli.main([
+        "slam", str(seq), "--focal", "110", "--traj", str(traj),
+    ])
+    assert rc == 0
+    lines = [l.split() for l in open(traj)]
+    assert len(lines) == T and all(len(l) == 8 for l in lines)
+    q = np.array([[float(v) for v in l[4:8]] for l in lines])
+    np.testing.assert_allclose(np.linalg.norm(q, axis=1), 1.0, atol=1e-5)
