@@ -179,7 +179,7 @@ def _descriptor_chunk(
 
 def bin_descriptors(
     sgx: jax.Array, sgy: jax.Array, theta: jax.Array, cfg: SiftConfig,
-    chunk: int = 2048,
+    chunk: int = 512,
 ) -> jax.Array:
     """uint8 descriptors from pre-sampled gradients (the fused-kernel path).
 
