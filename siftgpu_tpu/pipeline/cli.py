@@ -301,7 +301,10 @@ def cmd_slam(argv):
     a = p.parse_args(rest)
 
     if len(a.images) == 1 and a.images[0].endswith(".npy"):
-        frames = np.load(a.images[0]).astype(np.float32)
+        frames = np.load(a.images[0])
+        if frames.dtype == np.uint8:
+            frames = frames.astype(np.float32) / 255.0
+        frames = frames.astype(np.float32)
     else:
         frames = np.stack([imio.load_image(f) for f in a.images])
     T, H, W = frames.shape
