@@ -294,8 +294,10 @@ def record_indices(win: OctaveWinners, S: int, Hs: int, Ws: int) -> jax.Array:
     """[B, 4*cap] flat indices of the winner's record cells in the
     field-stacked record planes reshaped to [B, 4 * S*Hs*Ws] (field-major:
     val | off_l | off_y | off_x; l is 1-based, records indexed by slice
-    l-1).  `cand` masks padded winners downstream; their clamped indices
-    just read slot 0."""
+    l-1).  Indices are in range by construction: `l` is clamped to
+    [0, S-1] here, and py/px are bounded by the score-plane decode
+    (py < Hs, px < Ws) — there is no py/px clamp.  Padded winners are
+    masked by `cand` downstream (refine_records), not by indexing."""
     vol = S * Hs * Ws
     cell = (jnp.clip(win.l - 1, 0, S - 1)) * (Hs * Ws) + win.py * Ws + win.px
     return jnp.concatenate([cell + f * vol for f in range(N_REC)], axis=1)

@@ -2,9 +2,15 @@
 
 TPU-native replacement for `SiftMatchGPU` / `ProgramCU::MultiplyDescriptor[G]` +
 `GetRowMatch/GetColMatch` (SURVEY.md §2.4 items 7-8, §3.2 ⚠).  The n0 x n1 x 128
-dot-product volume is MXU work: descriptors are L2-normalized float32 and
-multiplied at HIGHEST precision (uint8 dots up to ~8.4e6 are exact in f32
-accumulation).  Distances are angular — d = arccos(sim) — matching the
+dot-product volume is MXU work.  uint8 descriptors (the production format, and
+the reference's own `MultiplyDescriptor` design point: tiled uint8 dot-products)
+take the INTEGER MXU path: recenter to int8, contract int8 x int8 -> int32 on
+the MXU (exact — |dot| < 2^23), undo the recenter with a rank-1 correction from
+per-row sums, and fold the two reciprocal L2 norms in as an f32 epilogue.  That
+is bit-exact integer arithmetic followed by ONE f32 rounding per entry —
+*tighter* than the old f32 `Precision.HIGHEST` path (a 6-pass bf16 emulation)
+and ~8x its MXU throughput.  Float descriptors fall back to L2-normalized f32
+at HIGHEST precision.  Distances are angular — d = arccos(sim) — matching the
 reference's acos + distmax(0.7)/ratiomax(0.8)/mutual-best semantics.
 
 The reference reads best/second rows back to the host and finishes on CPU;
@@ -46,6 +52,40 @@ def _normalize(d: jax.Array) -> jax.Array:
     f = d.astype(jnp.float32)
     n = jnp.linalg.norm(f, axis=-1, keepdims=True)
     return f / jnp.maximum(n, 1e-12)
+
+
+_INT_DOT = (((1,), (1,)), ((), ()))
+
+
+def _is_u8(*ds) -> bool:
+    return all(d.dtype == jnp.uint8 for d in ds)
+
+
+def _u8_parts(d: jax.Array):
+    """Centered-int8 view + per-row (sum, reciprocal-norm) for exact uint8 dots.
+
+    With c = d - 128 (int8) the uint8 dot decomposes exactly as
+        d0 . d1 = c0 . c1 + 128*(s0 + s1) + 128^2 * K,   s = sum(c), K = 128.
+    Every term fits int32 (|c0 . c1| <= 2^21, full dot < 2^23), so the int8
+    MXU contraction plus the rank-1 correction reproduces the uint8 dot
+    bit-exactly; only the final reciprocal-norm scaling rounds (f32)."""
+    i = d.astype(jnp.int32)
+    c = (i - 128).astype(jnp.int8)
+    s = (i - 128).sum(axis=1, dtype=jnp.int32)
+    sq = (i * i).sum(axis=1, dtype=jnp.int32).astype(jnp.float32)
+    rn = jax.lax.rsqrt(jnp.maximum(sq, 1e-24))
+    return c, s, rn
+
+
+def _u8_sim(parts0, parts1) -> jax.Array:
+    """Cosine similarity block from `_u8_parts` tuples (int8 MXU dot)."""
+    c0, s0, rn0 = parts0
+    c1, s1, rn1 = parts1
+    cdot = jax.lax.dot_general(
+        c0, c1, _INT_DOT, preferred_element_type=jnp.int32
+    )
+    dot = cdot + 128 * (s0[:, None] + s1[None, :]) + 128 * 128 * 128
+    return dot.astype(jnp.float32) * (rn0[:, None] * rn1[None, :])
 
 
 def _best2_sim(sim: jax.Array):
@@ -127,14 +167,28 @@ def _match_streaming(
     [N0, N1] gate matrices are never materialized either."""
     Bc = cfg.block_size
     n0, n1 = d0.shape[0], d1.shape[0]
-    f0 = _normalize(d0)
-    f1 = _normalize(d1)
     pad = (-n1) % Bc
+    if _is_u8(d0, d1):
+        # integer MXU path: per-block int8 dots + rank-1 correction.
+        parts0 = _u8_parts(d0)
+        c1, s1, rn1 = _u8_parts(d1)
+        if pad:  # zero-pads give finite sims; mask1 padding kills them below
+            c1 = jnp.pad(c1, ((0, pad), (0, 0)))
+            s1 = jnp.pad(s1, (0, pad))
+            rn1 = jnp.pad(rn1, (0, pad))
+        nb = c1.shape[0] // Bc
+        d1b = (c1.reshape(nb, Bc, -1), s1.reshape(nb, Bc), rn1.reshape(nb, Bc))
+        simfn = lambda blk: _u8_sim(parts0, blk)
+    else:
+        f0 = _normalize(d0)
+        f1 = _normalize(d1)
+        if pad:
+            f1 = jnp.pad(f1, ((0, pad), (0, 0)))
+        nb = f1.shape[0] // Bc
+        d1b = (f1.reshape(nb, Bc, -1),)
+        simfn = lambda blk: jnp.dot(f0, blk[0].T, precision=_HI)
     if pad:
-        f1 = jnp.pad(f1, ((0, pad), (0, 0)))
         mask1 = jnp.pad(mask1, (0, pad))
-    nb = f1.shape[0] // Bc
-    f1b = f1.reshape(nb, Bc, -1)
     m1b = mask1.reshape(nb, Bc)
     guided = H is not None or F is not None
     if guided:
@@ -145,8 +199,8 @@ def _match_streaming(
 
     def step(carry, blk):
         best, second, best_j = carry
-        fb, mb, lb, off = blk
-        sim = jnp.dot(f0, fb.T, precision=_HI)
+        db, mb, lb, off = blk
+        sim = simfn(db)
         keep = mask0[:, None] & mb[None, :]
         if H is not None:
             keep &= _homography_gate(loc0, lb, H, hdist_max)
@@ -168,12 +222,14 @@ def _match_streaming(
         jnp.zeros((n0,), jnp.int32),
     )
     offs = jnp.arange(nb, dtype=jnp.int32) * Bc
-    (bsim, ssim, best_j), cols = jax.lax.scan(step, init, (f1b, m1b, l1b, offs))
+    (bsim, ssim, best_j), cols = jax.lax.scan(step, init, (d1b, m1b, l1b, offs))
     col_best_i = cols.reshape(nb * Bc)[:n1] if cfg.mutual_best else None
     return _finalize(bsim, ssim, best_j, col_best_i, cfg)
 
 
 def _similarities(d0, d1):
+    if _is_u8(d0, d1):
+        return _u8_sim(_u8_parts(d0), _u8_parts(d1))
     return jnp.dot(_normalize(d0), _normalize(d1).T, precision=_HI)
 
 

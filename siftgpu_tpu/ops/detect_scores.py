@@ -46,7 +46,27 @@ import os as _os
 # lane chunk per compute step: 1920 measured best at 4K (v5e sweep 512/1024/
 # 1920/3840 -> 10.0/9.5/9.1/9.5 ms; smaller chunks pay per-chunk tap set-up,
 # full-width pushes VMEM temporaries)
-_CW = int(_os.environ.get("SIFTGPU_DETECT_CW", "1920"))
+
+
+def _read_cw() -> int:
+    raw = _os.environ.get("SIFTGPU_DETECT_CW", "1920")
+    try:
+        v = int(raw)
+    except ValueError:
+        raise ValueError(
+            f"SIFTGPU_DETECT_CW={raw!r}: must be an integer"
+        ) from None
+    # <=0 would make the chunk loop empty (uninitialized score planes) or
+    # crash range(); non-multiples of 128 break the Mosaic lane alignment
+    # of the per-chunk windows
+    if v <= 0 or v % 128:
+        raise ValueError(
+            f"SIFTGPU_DETECT_CW={v}: expected a positive multiple of 128"
+        )
+    return v
+
+
+_CW = _read_cw()
 _WIN_BYTES = 4_500_000  # budget for the double-buffered window scratch
 
 

@@ -11,7 +11,7 @@ exp/log maps.  `psum_axis` shards edges across devices with one `psum` of
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple, Optional
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -156,7 +156,7 @@ def _sim3_edge_residual_local(di, dj, si, Ri, ti, sj, Rj, tj, sm, Rm, tm):
 def optimize_pose_graph_sim3(
     g: Sim3PoseGraph, iters: int = 10, lam: float = 1e-5,
     fix_first: bool = True, psum_axis: Optional[str] = None,
-) -> Sim3PoseGraph:
+) -> Tuple[Sim3PoseGraph, jax.Array]:
     """Gauss-Newton over (pose, scale) per node; same structure as the SE(3)
     optimizer (dense normal equations, optional edge-sharded psum)."""
     M = g.poses.shape[0]

@@ -204,3 +204,41 @@ def test_auto_streaming_policy_matches_dense():
     assert int(ra.count) == int(rd.count)
     np.testing.assert_array_equal(np.asarray(ra.pairs), np.asarray(rd.pairs))
     np.testing.assert_allclose(np.asarray(ra.dist), np.asarray(rd.dist), atol=1e-6)
+
+
+def test_int8_path_matches_f32_path():
+    """uint8 descriptors ride the integer-MXU path (exact int32 dots +
+    rank-1 recenter correction, VERDICT r3 task 1); the same data cast to
+    f32 rides the old Precision.HIGHEST path.  Selection must be identical
+    and the winner distances must agree to f32 rounding of the epilogue."""
+    rng = np.random.default_rng(42)
+    for n0, n1, seed in ((200, 333, 0), (64, 64, 1), (511, 130, 2)):
+        d0 = _rand_desc(n0, 100 + seed)
+        d1 = np.concatenate(
+            [_noisy_copy(d0[: min(n0, n1)], 200 + seed),
+             _rand_desc(max(0, n1 - n0), 300 + seed)]
+        )[:n1]
+        d1[-1] = 0  # zero descriptor: rsqrt guard path
+        cfg = MatchConfig(max_match=512)
+        ri = jmatch.match_descriptors(jnp.asarray(d0), jnp.asarray(d1), cfg=cfg)
+        rf = jmatch.match_descriptors(
+            jnp.asarray(d0, jnp.float32), jnp.asarray(d1, jnp.float32), cfg=cfg
+        )
+        assert int(ri.count) == int(rf.count) > 0
+        assert _pairs_set(ri) == _pairs_set(rf)
+        c = int(ri.count)
+        np.testing.assert_allclose(
+            np.asarray(ri.dist[:c]), np.asarray(rf.dist[:c]), atol=5e-4
+        )
+    # streaming int8 == dense int8, exactly (same ints, same selection)
+    d0 = _rand_desc(300, 7)
+    d1 = np.concatenate([_noisy_copy(d0, 8), _rand_desc(217, 9)])
+    dense = jmatch.match_descriptors(
+        jnp.asarray(d0), jnp.asarray(d1), cfg=MatchConfig(max_match=512)
+    )
+    stream = jmatch.match_descriptors(
+        jnp.asarray(d0), jnp.asarray(d1),
+        cfg=MatchConfig(max_match=512, block_size=128),
+    )
+    assert int(stream.count) == int(dense.count)
+    np.testing.assert_array_equal(np.asarray(stream.pairs), np.asarray(dense.pairs))
