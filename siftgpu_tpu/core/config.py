@@ -254,6 +254,11 @@ class MatchConfig:
     block_size: int = 0
     stream_threshold: int = 4096
     stream_block: int = 1024
+    # fused Pallas match-reduction kernel (ops/match_kernel.py) on
+    # accelerators for uint8 descriptors: the [N0, N1] similarity matrix
+    # never reaches HBM, subsuming both the dense and streaming paths.
+    # False forces the XLA dense/streaming paths (e.g. for cross-checks).
+    use_pallas: bool = True
 
     def replace(self, **kw) -> "MatchConfig":
         return dataclasses.replace(self, **kw)

@@ -62,30 +62,42 @@ def _is_u8(*ds) -> bool:
 
 
 def _u8_parts(d: jax.Array):
-    """Centered-int8 view + per-row (sum, reciprocal-norm) for exact uint8 dots.
+    """bf16 view + per-row reciprocal L2 norm for exact uint8 dots.
 
-    With c = d - 128 (int8) the uint8 dot decomposes exactly as
-        d0 . d1 = c0 . c1 + 128*(s0 + s1) + 128^2 * K,   s = sum(c), K = 128.
-    Every term fits int32 (|c0 . c1| <= 2^21, full dot < 2^23), so the int8
-    MXU contraction plus the rank-1 correction reproduces the uint8 dot
-    bit-exactly; only the final reciprocal-norm scaling rounds (f32)."""
+    uint8 values (0..255) are exact in bf16 (8 significand bits) and the
+    128-term integer dot stays < 2^23, so ONE bf16 MXU pass with f32
+    accumulation reproduces the uint8 dot bit-exactly (verified vs int64
+    on v5e) — no recentering or multi-pass HIGHEST emulation needed."""
     i = d.astype(jnp.int32)
-    c = (i - 128).astype(jnp.int8)
-    s = (i - 128).sum(axis=1, dtype=jnp.int32)
     sq = (i * i).sum(axis=1, dtype=jnp.int32).astype(jnp.float32)
     rn = jax.lax.rsqrt(jnp.maximum(sq, 1e-24))
-    return c, s, rn
+    return d.astype(jnp.bfloat16), rn
 
 
 def _u8_sim(parts0, parts1) -> jax.Array:
-    """Cosine similarity block from `_u8_parts` tuples (int8 MXU dot)."""
-    c0, s0, rn0 = parts0
-    c1, s1, rn1 = parts1
-    cdot = jax.lax.dot_general(
-        c0, c1, _INT_DOT, preferred_element_type=jnp.int32
+    """Cosine similarity block from `_u8_parts` tuples (bf16 MXU dot).
+
+    Rounding order `(dot * rn1) * rn0` is the bit-parity contract with the
+    fused Pallas kernel (`ops/match_kernel.py`) — keep them in sync."""
+    b0, rn0 = parts0
+    b1, rn1 = parts1
+    dot = jax.lax.dot_general(
+        b0, b1, _INT_DOT, preferred_element_type=jnp.float32
     )
-    dot = cdot + 128 * (s0[:, None] + s1[None, :]) + 128 * 128 * 128
-    return dot.astype(jnp.float32) * (rn0[:, None] * rn1[None, :])
+    return (dot * rn1[None, :]) * rn0[:, None]
+
+
+def _fused_select(d0, d1, mask0, mask1, cfg: MatchConfig) -> MatchResult:
+    """Fused Pallas matcher (accelerators, uint8): the [N0, N1] similarity
+    matrix never touches HBM — only O(N0 + N1) reduction vectors do.  Same
+    selection + f32 winner values as the dense XLA path (kernel docstring
+    states the bit-parity contract)."""
+    from ..ops.match_kernel import match_best2
+
+    _, rn0 = _u8_parts(d0)
+    _, rn1 = _u8_parts(d1)
+    bs, ss, bj, ci = match_best2(d0, d1, rn0, rn1, mask0, mask1)
+    return _finalize(bs, ss, bj, ci if cfg.mutual_best else None, cfg)
 
 
 def _best2_sim(sim: jax.Array):
@@ -169,15 +181,14 @@ def _match_streaming(
     n0, n1 = d0.shape[0], d1.shape[0]
     pad = (-n1) % Bc
     if _is_u8(d0, d1):
-        # integer MXU path: per-block int8 dots + rank-1 correction.
+        # integer MXU path: per-block exact bf16 dots + rn epilogue.
         parts0 = _u8_parts(d0)
-        c1, s1, rn1 = _u8_parts(d1)
+        b1, rn1 = _u8_parts(d1)
         if pad:  # zero-pads give finite sims; mask1 padding kills them below
-            c1 = jnp.pad(c1, ((0, pad), (0, 0)))
-            s1 = jnp.pad(s1, (0, pad))
+            b1 = jnp.pad(b1, ((0, pad), (0, 0)))
             rn1 = jnp.pad(rn1, (0, pad))
-        nb = c1.shape[0] // Bc
-        d1b = (c1.reshape(nb, Bc, -1), s1.reshape(nb, Bc), rn1.reshape(nb, Bc))
+        nb = b1.shape[0] // Bc
+        d1b = (b1.reshape(nb, Bc, -1), rn1.reshape(nb, Bc))
         simfn = lambda blk: _u8_sim(parts0, blk)
     else:
         f0 = _normalize(d0)
@@ -260,6 +271,11 @@ def match_descriptors_impl(
         mask0 = jnp.ones(d0.shape[0], bool)
     if mask1 is None:
         mask1 = jnp.ones(d1.shape[0], bool)
+    if _is_u8(d0, d1) and cfg.use_pallas and jax.default_backend() != "cpu":
+        # the fused kernel subsumes BOTH dense and streaming: O(N0 + N1)
+        # HBM traffic regardless of size (choosing per-call is per-shape
+        # jit anyway, so there is no policy to tune here)
+        return _fused_select(d0, d1, mask0, mask1, cfg)
     bs = _effective_block(cfg, d1.shape[0])
     if bs:
         return _match_streaming(d0, d1, mask0, mask1, cfg.replace(block_size=bs))

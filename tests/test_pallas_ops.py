@@ -166,3 +166,41 @@ def test_grad_stencil_matches_xla_gradient_stack():
             assert np.array_equal(
                 np.asarray(g3.gy)[:, :, :h, :w], np.asarray(g4.gy)[:, :, :h, :w]
             )
+
+
+def test_match_kernel_matches_xla_selection():
+    """Fused match-reduction kernel (ops/match_kernel.py, interpret mode)
+    vs the dense XLA u8 selection: identical best/second similarities,
+    argbest, and column-best rows — incl. masks, ragged sizes, exact-tie
+    columns, and zero descriptors."""
+    from siftgpu_tpu.frontend import match as M
+    from siftgpu_tpu.ops.match_kernel import match_best2
+
+    rng = np.random.default_rng(5)
+    for n0, n1, seed in ((300, 1200, 0), (256, 1024, 1), (70, 130, 2)):
+        d0 = rng.integers(0, 256, (n0, 128), dtype=np.uint8)
+        d1 = rng.integers(0, 256, (n1, 128), dtype=np.uint8)
+        d1[5] = d0[0]
+        if n1 > 1025:
+            d1[1025] = d0[0]  # exact duplicate across column tiles: tie-break
+        d1[-1] = 0
+        m0 = rng.random(n0) > 0.1
+        m1 = rng.random(n1) > 0.1
+        d0j, d1j = jnp.asarray(d0), jnp.asarray(d1)
+        m0j, m1j = jnp.asarray(m0), jnp.asarray(m1)
+
+        p0 = M._u8_parts(d0j)
+        p1 = M._u8_parts(d1j)
+        sim = M._u8_sim(p0, p1)
+        sim = jnp.where(m0j[:, None] & m1j[None, :], sim, -jnp.inf)
+        rb, rs, rj = M._best2_sim(sim)
+        rc = jnp.argmax(sim, axis=0)
+
+        bs, ss, bj, ci = match_best2(
+            d0j, d1j, p0[1], p1[1], m0j, m1j, interpret=True
+        )
+        np.testing.assert_array_equal(np.asarray(bs), np.asarray(rb))
+        np.testing.assert_array_equal(np.asarray(bj), np.asarray(rj))
+        np.testing.assert_array_equal(np.asarray(ci), np.asarray(rc))
+        # second-best: masked rows are -inf in both
+        np.testing.assert_array_equal(np.asarray(ss), np.asarray(rs))
