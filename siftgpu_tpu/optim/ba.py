@@ -20,7 +20,10 @@ import jax.numpy as jnp
 
 from ..geometry.pose import exp_so3
 
-__all__ = ["BAProblem", "BAState", "project", "reprojection_residuals", "run_ba"]
+__all__ = [
+    "BAProblem", "BAState", "project", "reprojection_residuals", "run_ba",
+    "refine_points",
+]
 
 
 class BAProblem(NamedTuple):
@@ -31,6 +34,15 @@ class BAProblem(NamedTuple):
     pt_idx: jax.Array      # [N] int32
     uv: jax.Array          # [N, 2] pixel observations
     w: jax.Array           # [N] observation weights (0 masks out)
+    # optional [P] bool: FIXED landmarks — their observations still constrain
+    # the cameras (full J_c^T J_c contribution; that is how a revisit anchors
+    # the camera to established geometry) but the points themselves do not
+    # move.  The windowed-BA policy marks landmarks whose anchor keyframe
+    # retired: without this, a loop-fused old landmark entering the recent
+    # window's observation set gets DRAGGED toward the window consensus,
+    # corrupting the retired region's internal consistency (measured: later
+    # revisit PnP inlier ratios halved).
+    pt_fixed: Optional[jax.Array] = None
 
 
 class BAState(NamedTuple):
@@ -110,6 +122,7 @@ def _inv3(A):
 def schur_solve(
     r, Jc, Jp, cam_idx, pt_idx, M: int, P: int, lam,
     gauge_mask, n_cg: int = 30, psum_axis: Optional[str] = None,
+    pt_fixed: Optional[jax.Array] = None,
 ):
     """Solve the damped normal equations via Schur complement + PCG.
 
@@ -134,6 +147,11 @@ def schur_solve(
     Hcc = Hcc + lam * jnp.eye(6)
     Hpp = Hpp + lam * jnp.eye(3)
     Hpp_inv = _inv3(Hpp)
+    if pt_fixed is not None:
+        # fixed landmarks: zero their marginalization block — dpt comes out
+        # 0 and their observations act as pure camera constraints (the full
+        # Jc^T Jc term stays in S because the W Hpp^-1 W^T correction drops)
+        Hpp_inv = jnp.where(pt_fixed[:, None, None], 0.0, Hpp_inv)
 
     gm = gauge_mask[:, None].astype(bc.dtype)
 
@@ -212,7 +230,7 @@ def run_ba_impl(
         r = r.reshape(-1, 2)
         dcam, dpt = schur_solve(
             r, Jc, Jp, prob.cam_idx, prob.pt_idx, M, P, state.lam, gauge,
-            n_cg, psum_axis=psum_axis,
+            n_cg, psum_axis=psum_axis, pt_fixed=prob.pt_fixed,
         )
         new_cams = state.cams + dcam
         new_pts = state.points + dpt
@@ -240,3 +258,53 @@ def run_ba(
     fix_first_cam: bool = True, lam0: float = 1e-3,
 ) -> BAState:
     return run_ba_impl(prob, iters, n_cg, fix_first_cam, lam0)
+
+
+@partial(jax.jit, static_argnums=(1,))
+def refine_points(prob: BAProblem, iters: int = 3,
+                  huber_px: float = 3.0) -> jax.Array:
+    """Points-only GN refit with CAMERAS FIXED (Huber-IRLS).
+
+    The map-consistency restorer after a pose-graph loop correction: the
+    Sim(3) correction transports each landmark with its anchor keyframe,
+    which is exact for the anchor's own observations but warps the map
+    slightly non-rigidly for points observed across anchor boundaries —
+    measured on the loop fixtures, that inconsistency halved later revisit
+    PnP inlier ratios and starved loop detection.  Re-fitting ONLY the
+    points against the (pinned) corrected poses restores consistency
+    without letting full BA re-open the loop (full BA's optimum is the
+    drifted odometry solution unless enough duplicated landmarks were
+    fused to tie the loop: measured 0.049 -> 0.093 ATE regression).
+
+    Per-point 3x3 damped normal equations — embarrassingly parallel over
+    the map, one `segment_sum` per iteration.  Returns the refined [P, 3]
+    points (unobserved points keep their coordinates)."""
+    Pn = prob.points.shape[0]
+    seg_p = partial(jax.ops.segment_sum, num_segments=Pn)
+
+    def one_iter(points, _):
+        def res_one(ci, pi, uv):
+            return project(prob.cams[ci], points[pi], prob.intrinsics) - uv
+
+        def jac_one(ci, pi, uv):
+            return jax.jacfwd(
+                lambda X: project(prob.cams[ci], X, prob.intrinsics) - uv
+            )(points[pi])
+
+        r = jax.vmap(res_one)(prob.cam_idx, prob.pt_idx, prob.uv)
+        Jp = jax.vmap(jac_one)(prob.cam_idx, prob.pt_idx, prob.uv)
+        rn = jnp.linalg.norm(r, axis=1)
+        w = prob.w * jnp.minimum(1.0, huber_px / jnp.maximum(rn, 1e-9))
+        bp = seg_p(-jnp.einsum("nij,ni->nj", Jp, r * w[:, None]),
+                   prob.pt_idx)
+        Hpp = seg_p(
+            w[:, None, None] * jnp.einsum("nij,nik->njk", Jp, Jp),
+            prob.pt_idx,
+        ) + 1e-4 * jnp.eye(3)
+        dpt = jnp.einsum("pij,pj->pi", _inv3(Hpp), bp)
+        # guard: a point with degenerate observations must not fly away
+        dpt = jnp.clip(dpt, -1e3, 1e3)
+        return points + dpt, None
+
+    out, _ = jax.lax.scan(one_iter, prob.points, None, length=iters)
+    return out

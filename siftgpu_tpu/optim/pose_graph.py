@@ -157,11 +157,20 @@ def _sim3_edge_residual_local(di, dj, si, Ri, ti, sj, Rj, tj, sm, Rm, tm):
 def optimize_pose_graph_sim3(
     g: Sim3PoseGraph, iters: int = 10, lam: float = 1e-5,
     fix_first: bool = True, psum_axis: Optional[str] = None,
+    n_fix: int = 1,
 ) -> Tuple[Sim3PoseGraph, jax.Array]:
     """Gauss-Newton over (pose, scale) per node; same structure as the SE(3)
-    optimizer (dense normal equations, optional edge-sharded psum)."""
+    optimizer (dense normal equations, optional edge-sharded psum).
+
+    `n_fix` freezes the FIRST n nodes (pose and scale) — n_fix=1 is the
+    usual gauge anchor; larger values implement the online loop-correction
+    policy where the established chain stays put and only the recent
+    segment snaps onto the loop constraint (`fix_first=False` forces
+    n_fix=0)."""
     M = g.poses.shape[0]
     D = 7
+    if not fix_first:
+        n_fix = 0
 
     def allred(x):
         return jax.lax.psum(x, psum_axis) if psum_axis else x
@@ -204,9 +213,10 @@ def optimize_pose_graph_sim3(
 
         Hf = H.reshape(D * M, D * M) + lam * jnp.eye(D * M)
         bf = b.reshape(D * M)
-        if fix_first:
-            # freeze node 0 (pose AND scale): gauge + global scale anchor
-            mask = jnp.arange(D * M) >= D
+        if n_fix > 0:
+            # freeze the first n_fix nodes (pose AND scale): gauge + global
+            # scale anchor (+ the established chain in online mode)
+            mask = jnp.arange(D * M) >= D * n_fix
             Hf = jnp.where(mask[:, None] & mask[None, :], Hf, 0.0)
             Hf = Hf + jnp.diag(jnp.where(mask, 0.0, 1.0))
             bf = jnp.where(mask, bf, 0.0)
@@ -254,7 +264,7 @@ def _sim3_linearize(g: Sim3PoseGraph, s_all, R_all, t_all):
 def optimize_pose_graph_sim3_cg(
     g: Sim3PoseGraph, iters: int = 10, lam: float = 1e-5,
     fix_first: bool = True, psum_axis: Optional[str] = None,
-    n_cg: int = 60,
+    n_cg: int = 60, n_fix: int = 1,
 ) -> Tuple[Sim3PoseGraph, jax.Array]:
     """Matrix-free Gauss-Newton: block-sparse H, PCG with 7x7 block-Jacobi.
 
@@ -270,9 +280,11 @@ def optimize_pose_graph_sim3_cg(
     def allred(x):
         return jax.lax.psum(x, psum_axis) if psum_axis else x
 
-    gm = jnp.ones((M, 1))
-    if fix_first:
-        gm = gm.at[0].set(0.0)   # gauge + global scale anchor: freeze node 0
+    if not fix_first:
+        n_fix = 0
+    # gauge + global scale anchor (n_fix=1) or the frozen established chain
+    # of the online correction policy (n_fix > 1)
+    gm = (jnp.arange(M)[:, None] >= n_fix).astype(jnp.float32)
 
     def step(carry, _):
         s_all, R_all, t_all = carry

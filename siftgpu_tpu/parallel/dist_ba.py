@@ -33,6 +33,7 @@ class ShardedBAProblem(NamedTuple):
     pt_idx: jax.Array      # [S, Ns]  (LOCAL point indices)
     uv: jax.Array          # [S, Ns, 2]
     w: jax.Array           # [S, Ns]
+    pt_fixed: jax.Array    # [S, Ps] bool (see ba.BAProblem.pt_fixed)
 
 
 def partition_problem(prob: ba.BAProblem, n_shards: int) -> ShardedBAProblem:
@@ -59,7 +60,10 @@ def partition_problem(prob: ba.BAProblem, n_shards: int) -> ShardedBAProblem:
         Ns = max(Ns, len(sel))
     Ns = max(Ns, 1)
 
+    fixed = (np.asarray(prob.pt_fixed) if prob.pt_fixed is not None
+             else np.zeros(n_pts, bool))
     points_s = np.zeros((n_shards, Ps, 3), np.float32)
+    fixed_s = np.zeros((n_shards, Ps), bool)
     cam_s = np.zeros((n_shards, Ns), np.int32)
     pt_s = np.zeros((n_shards, Ns), np.int32)
     uv_s = np.zeros((n_shards, Ns, 2), np.float32)
@@ -67,6 +71,7 @@ def partition_problem(prob: ba.BAProblem, n_shards: int) -> ShardedBAProblem:
     for s, (lo, hi, sel) in enumerate(shard_obs):
         k = len(sel)
         points_s[s, : hi - lo] = pts[lo:hi]
+        fixed_s[s, : hi - lo] = fixed[lo:hi]
         cam_s[s, :k] = cam_idx[sel]
         pt_s[s, :k] = pt_idx[sel] - lo
         uv_s[s, :k] = uv[sel]
@@ -80,6 +85,7 @@ def partition_problem(prob: ba.BAProblem, n_shards: int) -> ShardedBAProblem:
         pt_idx=jnp.asarray(pt_s),
         uv=jnp.asarray(uv_s),
         w=jnp.asarray(w_s),
+        pt_fixed=jnp.asarray(fixed_s),
     )
 
 
@@ -95,15 +101,16 @@ def run_ba_distributed(
         jax.shard_map,
         mesh=mesh,
         in_specs=(
-            P(), P(axis), P(), P(axis), P(axis), P(axis), P(axis),
+            P(), P(axis), P(), P(axis), P(axis), P(axis), P(axis), P(axis),
         ),
         out_specs=(P(), P(axis), P(), P()),
         check_vma=False,
     )
-    def shard_fn(cams, points, intr, cam_idx, pt_idx, uv, w):
+    def shard_fn(cams, points, intr, cam_idx, pt_idx, uv, w, pt_fixed):
         local = ba.BAProblem(
             cams=cams, points=points[0], intrinsics=intr,
             cam_idx=cam_idx[0], pt_idx=pt_idx[0], uv=uv[0], w=w[0],
+            pt_fixed=pt_fixed[0],
         )
         st = ba.run_ba_impl(
             local, iters=iters, n_cg=n_cg, fix_first_cam=fix_first_cam,
@@ -113,6 +120,6 @@ def run_ba_distributed(
 
     cams, points, lam, cost = jax.jit(shard_fn)(
         sprob.cams, sprob.points, sprob.intrinsics,
-        sprob.cam_idx, sprob.pt_idx, sprob.uv, sprob.w,
+        sprob.cam_idx, sprob.pt_idx, sprob.uv, sprob.w, sprob.pt_fixed,
     )
     return ba.BAState(cams=cams, points=points, lam=lam, cost=cost), cost

@@ -71,6 +71,7 @@ def optimize_pose_graph_distributed(
 def optimize_pose_graph_sim3_distributed(
     g: pg.Sim3PoseGraph, mesh: Mesh, axis: str = "pg",
     iters: int = 10, lam: float = 1e-5, fix_first: bool = True,
+    n_fix: int = 1,
 ):
     """Sim(3) variant (monocular loop closure): edges sharded over `axis`,
     one psum of the 7-DoF (H, b) per GN iteration."""
@@ -96,7 +97,8 @@ def optimize_pose_graph_sim3_distributed(
             poses=poses, edge_i=ei, edge_j=ej, t_meas=tm, weight=w
         )
         out, costs = pg.optimize_pose_graph_sim3(
-            local, iters=iters, lam=lam, fix_first=fix_first, psum_axis=axis
+            local, iters=iters, lam=lam, fix_first=fix_first,
+            psum_axis=axis, n_fix=n_fix,
         )
         return out.poses, costs
 
@@ -109,7 +111,7 @@ def optimize_pose_graph_sim3_distributed(
 def optimize_pose_graph_sim3_cg_distributed(
     g: pg.Sim3PoseGraph, mesh: Mesh, axis: str = "pg",
     iters: int = 10, lam: float = 1e-5, fix_first: bool = True,
-    n_cg: int = 60,
+    n_cg: int = 60, n_fix: int = 1,
 ):
     """Scalable Sim(3) variant: edges sharded, matrix-free PCG — every psum
     is an O(M) vector ([M,7] per CG step, [M,7,7] once per GN iteration),
@@ -137,7 +139,7 @@ def optimize_pose_graph_sim3_cg_distributed(
         )
         out, costs = pg.optimize_pose_graph_sim3_cg(
             local, iters=iters, lam=lam, fix_first=fix_first,
-            psum_axis=axis, n_cg=n_cg,
+            psum_axis=axis, n_cg=n_cg, n_fix=n_fix,
         )
         return out.poses, costs
 

@@ -36,7 +36,7 @@ from . import dist_ba, dist_pose_graph, dp
 
 __all__ = [
     "SequenceFeatures", "extract_sequence_dp", "make_distributed_ba",
-    "run_slam_distributed",
+    "make_pg_optimizer", "run_global_ba", "run_slam_distributed",
 ]
 
 
@@ -160,92 +160,111 @@ def make_distributed_ba(mesh: Mesh):
     return run
 
 
+def make_pg_optimizer(flat_mesh: Mesh, axis: str = "pg"):
+    """Distributed Sim(3) pose-graph solver hook for
+    `pipeline.slam.apply_pose_graph_sim3`: the dense edge-sharded solver for
+    tiny graphs, the matrix-free PCG solver (O(M) psums, never a dense H)
+    beyond 64 nodes (VERDICT r3 task 6)."""
+
+    def opt(graph, iters, n_fix=1):
+        if graph.poses.shape[0] <= 64:
+            return dist_pose_graph.optimize_pose_graph_sim3_distributed(
+                graph, flat_mesh, axis=axis, iters=iters, n_fix=n_fix
+            )
+        return dist_pose_graph.optimize_pose_graph_sim3_cg_distributed(
+            graph, flat_mesh, axis=axis, iters=iters, n_fix=n_fix
+        )
+
+    return opt
+
+
 def _pose_graph_refine(result, mesh: Mesh, iters: int = 10,
-                       loop_weight: float = 8.0):
+                       loop_weight: float = 8.0, intr=None):
     """Distributed Sim(3) pose-graph refinement over the keyframe chain
     (config 5's second half), edges sharded over the mesh.
 
     Monocular drift is dominated by SCALE drift, so the graph optimizes
     7-DoF (pose + scale) per keyframe — the classic monocular loop-closure
-    formulation.  Edges: (a) odometry — consecutive + skip-1 keyframe
-    relative poses measured at the windowed-BA optimum with relative scale 1
-    (they hold the chain's local shape); (b) LOOP CLOSURES — measured
-    relative Sim(3) transforms from `run_slam`'s revisit detection
-    (`SlamResult.loop_edges`: 3D-3D similarity registration of the revisit
-    pair's duplicated map points, which observes the accumulated relative
-    scale).  Without loops the odometry residuals are ~0 and a converged
-    trajectory is left unchanged.
-
-    The optimized (s, R, t) per keyframe folds back to SE(3) as
-    (R, t / s); corrections are propagated to the in-between frames by
-    re-anchoring each non-keyframe pose to its preceding keyframe
-    (T_t <- T_t . T_kf_old^-1 . T_kf_new)."""
-    from ..geometry import pose as P
-    from ..optim import pose_graph as pg
+    formulation.  Graph construction, trajectory re-anchoring, MAP repair
+    (anchor-keyframe point transport) and duplicated-landmark fusion all
+    live in `pipeline.slam.apply_pose_graph_sim3`; this wrapper supplies
+    the edge-sharded distributed solvers."""
+    from ..pipeline.slam import apply_pose_graph_sim3
 
     kfs = result.keyframes
     if kfs is None or len(kfs) < 3:
         return result
-    poses6 = jnp.asarray(np.stack([k.pose for k in kfs]))
-    R0, t0 = P.exp_se3(poses6)
-    poses = pg.srt_to_sim7(jnp.ones(len(kfs)), R0, t0)
-    ei, ej = [], []
-    for i in range(len(kfs) - 1):
-        ei.append(i)
-        ej.append(i + 1)
-        if i + 2 < len(kfs):
-            ei.append(i)
-            ej.append(i + 2)
-    ei = jnp.asarray(ei, jnp.int32)
-    ej = jnp.asarray(ej, jnp.int32)
-    Rr, tr = P.relative(R0[ei], t0[ei], R0[ej], t0[ej])
-    t_meas = pg.srt_to_sim7(jnp.ones(ei.shape[0]), Rr, tr)
-    weight = jnp.ones(ei.shape[0])
-
-    loops = [e for e in (result.loop_edges or []) if e[1] < len(kfs)]
-    if loops:
-        ei = jnp.concatenate([ei, jnp.asarray([e[0] for e in loops], jnp.int32)])
-        ej = jnp.concatenate([ej, jnp.asarray([e[1] for e in loops], jnp.int32)])
-        t_meas = jnp.concatenate(
-            [t_meas, jnp.asarray(np.stack([e[2] for e in loops]), jnp.float32)]
-        )
-        # information-proportional edge weights: a loop verified by more PnP
-        # inliers is a better-conditioned measurement
-        weight = jnp.concatenate(
-            [weight, jnp.asarray(
-                [loop_weight * e[3] / 80.0 for e in loops], jnp.float32)]
-        )
-
-    graph = pg.Sim3PoseGraph(
-        poses=poses, edge_i=ei, edge_j=ej, t_meas=t_meas, weight=weight,
-    )
     flat = Mesh(mesh.devices.reshape(-1), axis_names=("pg",))
-    out, _ = dist_pose_graph.optimize_pose_graph_sim3_distributed(
-        graph, flat, axis="pg", iters=iters
+    anchor = (
+        result.map_anchor if getattr(result, "map_anchor", None) is not None
+        else np.full(len(result.map_mask), -1, np.int32)
     )
-    s_f, R_f, t_f = pg.sim7_to_srt(jnp.asarray(out.poses))
-    # fold scale into SE(3): x_cam = s R x + t  <=>  x_cam/s = R x + t/s —
-    # the camera center and orientation of [R, t/s]
-    new_poses = np.asarray(
-        P.log_se3(R_f, t_f / s_f[..., None]), np.float32
+    apply_pose_graph_sim3(
+        kfs, result.trajectory, result.map_points, result.map_mask, anchor,
+        result.loop_edges, optimizer=make_pg_optimizer(flat),
+        iters=iters, loop_weight=loop_weight,
+        odo_edges=getattr(result, "odo_edges", None),
     )
+    return result
 
-    # propagate each keyframe's correction to the frames it anchors:
-    # T_t <- (T_t . T_kf_old^-1) . T_kf_new, batched over all frames
-    old_poses = np.stack([k.pose for k in kfs])
-    kf_rows = np.asarray([k.frame_idx for k in kfs])
-    T_total = len(result.trajectory)
-    anchor = np.maximum(np.searchsorted(kf_rows, np.arange(T_total), "right") - 1, 0)
-    Rt, tt = P.exp_se3(jnp.asarray(result.trajectory))
-    Ro, to = P.exp_se3(jnp.asarray(old_poses[anchor]))
-    Rn, tn = P.exp_se3(jnp.asarray(new_poses[anchor]))
-    Rrel, trel = P.compose(Rt, tt, *P.inverse(Ro, to))
-    Rtn, ttn = P.compose(Rrel, trel, Rn, tn)
-    traj_new = np.array(P.log_se3(Rtn, ttn), np.float32)  # writable copy
-    traj_new[kf_rows] = new_poses  # keyframe rows take the PG result exactly
-    result.trajectory[:] = traj_new
-    for i, k in enumerate(kfs):
-        k.pose = new_poses[i]
+
+def run_global_ba(result, mesh: Optional[Mesh], intr, iters: int = 4,
+                  n_cg: int = 20, metrics=None):
+    """One global BA pass over ALL keyframes (SURVEY §7.2 step 8's full-scene
+    refinement; VERDICT r3 task 3c): after the pose graph has moved keyframes
+    and map blocks coherently, jointly polish every keyframe pose + map point
+    against all observations.  Host keypoint coordinates persist on retired
+    keyframes, so the observation list spans the whole run.  With a mesh the
+    distributed Schur solve runs (map points partitioned); without one the
+    single-device solver."""
+    from ..pipeline.metrics import or_null
+
+    m = or_null(metrics)
+    kfs = [
+        k for k in (result.keyframes or [])
+        if isinstance(getattr(k, "kp", None), dict)
+        and k.kp.get("x") is not None and k.pt_ids.size
+    ]
+    if len(kfs) < 2:
+        return result
+    obs_c, obs_p, obs_uv = [], [], []
+    for ci, k in enumerate(kfs):
+        sel = np.nonzero(k.pt_ids >= 0)[0]
+        obs_c += [ci] * len(sel)
+        obs_p += list(k.pt_ids[sel])
+        obs_uv += list(np.stack([k.kp["x"][sel], k.kp["y"][sel]], 1))
+    if len(obs_c) < 10:
+        return result
+    prob = ba.BAProblem(
+        cams=jnp.asarray(np.stack([k.pose for k in kfs])),
+        points=jnp.asarray(result.map_points),
+        intrinsics=jnp.asarray(intr, jnp.float32),
+        cam_idx=jnp.asarray(obs_c, jnp.int32),
+        pt_idx=jnp.asarray(obs_p, jnp.int32),
+        uv=jnp.asarray(np.stack(obs_uv), jnp.float32),
+        w=jnp.ones(len(obs_c), jnp.float32),
+    )
+    # robust (Huber-IRLS) weights: the whole-run observation list contains
+    # tracking outliers and loop-fused associations; unweighted squared loss
+    # measurably DEGRADED ATE on the loop fixture (0.049 -> 0.093) — one
+    # reweighting pass from the pose-graph-corrected state fixes that
+    r0 = np.asarray(ba.reprojection_residuals(prob, prob.cams, prob.points))
+    rn = np.linalg.norm(r0, axis=1)
+    huber_px = 3.0
+    w = np.minimum(1.0, huber_px / np.maximum(rn, 1e-9))
+    w[rn > 10.0 * huber_px] = 0.0     # gross outliers drop out entirely
+    prob = prob._replace(w=jnp.asarray(w, jnp.float32))
+    if mesh is not None:
+        state = make_distributed_ba(mesh)(prob, iters, n_cg)
+    else:
+        state = ba.run_ba(prob, iters=iters, n_cg=n_cg)
+    new_cams = np.asarray(state.cams)
+    for ci, k in enumerate(kfs):
+        k.pose = new_cams[ci]
+        result.trajectory[k.frame_idx] = new_cams[ci]
+    result.map_points[:] = np.asarray(state.points)
+    m.event("global_ba", n_kf=len(kfs), n_obs=len(obs_c),
+            cost=float(np.asarray(state.cost)))
     return result
 
 
@@ -253,27 +272,54 @@ def run_slam_distributed(
     frames, intr, cfg: SiftConfig, mcfg: MatchConfig, scfg, mesh: Mesh,
     data_axis: str = "data", chunk: Optional[int] = None,
     pose_graph: bool = True, metrics=None,
+    checkpoint_path: Optional[str] = None, resume=None,
+    global_ba: bool = False,
 ):
     """The config-5 end-to-end pipeline (see module docstring).
 
     Produces a `pipeline.slam.SlamResult` matching single-device `run_slam`
     up to float-reduction order (tests assert trajectory parity on the
-    virtual 8-device mesh).  `metrics`: per-host JSONL stream (SURVEY §5.5)."""
+    virtual 8-device mesh).  `metrics`: per-host JSONL stream (SURVEY §5.5).
+
+    `pose_graph=False` is the full ablation: online loop correction and
+    landmark fusion are disabled too, so the run carries uncorrected drift
+    (the contrast tests/test_loop_closure.py measures).
+
+    Crash recovery (SURVEY §5.3; VERDICT r3 task 4): `checkpoint_path`
+    writes an atomic snapshot after every keyframe's windowed BA, and
+    `resume` (a `pipeline.checkpoint.SlamCheckpoint`) continues a killed
+    run.  The pre-extracted feature store is RE-EXTRACTED on resume —
+    extraction is deterministic, so the resumed run replays the
+    uninterrupted one exactly (tests/test_fault_injection.py asserts the
+    distributed variant at 1e-4).
+
+    `global_ba=True` finishes with one distributed BA pass over ALL
+    keyframes after the pose-graph refinement (map blocks partitioned over
+    the mesh) — the full-scene polish of the corrected map."""
+    import dataclasses as _dc
+
     from ..pipeline import slam
     from ..pipeline.metrics import or_null
 
     m = or_null(metrics)
     m.event("sequence_start", frames=len(frames),
             devices=int(np.prod(list(mesh.shape.values()))))
+    if not pose_graph:
+        scfg = _dc.replace(scfg, loop_online=False, loop_fuse=False)
     seq = extract_sequence_dp(
         frames, cfg, mesh, axis=data_axis, chunk=chunk, metrics=metrics
     )
+    flat = Mesh(mesh.devices.reshape(-1), axis_names=("pg",))
     result = slam.run_slam(
         frames, intr, cfg, mcfg, scfg,
         features=seq, ba_fn=make_distributed_ba(mesh), metrics=metrics,
+        checkpoint_path=checkpoint_path, resume=resume,
+        pg_fn=make_pg_optimizer(flat) if pose_graph else None,
     )
     if pose_graph:
-        result = _pose_graph_refine(result, mesh)
+        result = _pose_graph_refine(result, mesh, intr=intr)
+        if global_ba:
+            result = run_global_ba(result, mesh, intr, metrics=metrics)
     m.event("sequence_done", keyframes=len(result.keyframe_indices),
             map_pts=int(result.map_mask.sum()))
     return result

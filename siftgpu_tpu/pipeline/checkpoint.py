@@ -57,13 +57,39 @@ def save_slam_state(path: str, res: slam_mod.SlamResult, next_frame: int,
         next_frame=np.asarray(next_frame, np.int64),
         vel=np.zeros(6, np.float32) if vel is None else np.asarray(vel, np.float32),
     )
+    anchor = getattr(res, "map_anchor", None)
+    if anchor is not None:
+        payload["map_anchor"] = np.asarray(anchor, np.int32)
+    map_n = getattr(res, "map_n", None)
+    if map_n is not None:
+        # slot-allocation high-water mark: fusion frees slots below it, so
+        # mask.sum() cannot recover it (exact replay needs the true value)
+        payload["map_n"] = np.asarray(map_n, np.int64)
     edges = getattr(res, "loop_edges", None) or []
+    # ragged per-edge fuse-pair lists stored flat + offsets (npz is not
+    # ragged-friendly); legacy 4-tuple edges contribute empty slices
+    fps = [
+        (np.asarray(e[4], np.int64).reshape(-1, 2)
+         if len(e) > 4 and e[4] is not None else np.zeros((0, 2), np.int64))
+        for e in edges
+    ]
     payload.update(
         loop_i=np.asarray([e[0] for e in edges], np.int64),
         loop_j=np.asarray([e[1] for e in edges], np.int64),
         loop_rel=(np.stack([e[2] for e in edges])
                   if edges else np.zeros((0, 7), np.float32)),
         loop_w=np.asarray([e[3] for e in edges], np.float32),
+        loop_fuse_pairs=(np.concatenate(fps)
+                         if fps else np.zeros((0, 2), np.int64)),
+        loop_fuse_off=np.cumsum([0] + [len(f) for f in fps]).astype(np.int64),
+    )
+    # stored odometry measurements (the final pose graph's honest edges)
+    odo = getattr(res, "odo_edges", None) or []
+    payload.update(
+        odo_i=np.asarray([e[0] for e in odo], np.int64),
+        odo_j=np.asarray([e[1] for e in odo], np.int64),
+        odo_rel=(np.stack([e[2] for e in odo])
+                 if odo else np.zeros((0, 7), np.float32)),
     )
     if keyframes:
         # window keyframes: everything the windowed BA reads (host keypoint

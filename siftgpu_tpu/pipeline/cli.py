@@ -329,6 +329,15 @@ def cmd_slam(argv):
         frames, intr, cfg, MatchConfig(max_match=cfg.max_keypoints), scfg,
         metrics=ml, checkpoint_path=a.checkpoint, resume=resume,
     )
+    # final Sim(3) pose-graph pass over ALL keyframes before export (loop
+    # corrections already applied online by default; this consumes any edge
+    # accepted after the last correction) — the exported TUM trajectory is
+    # loop-corrected, matching the config-5 pipeline (ADVICE r3 #1)
+    if res.loop_edges:
+        slam_mod.apply_pose_graph_sim3(
+            res.keyframes, res.trajectory, res.map_points, res.map_mask,
+            res.map_anchor, res.loop_edges, odo_edges=res.odo_edges,
+        )
     dt = time.perf_counter() - t0
     print(
         f"{T} frames in {dt:.1f}s ({T / dt:.1f} fps incl. compile): "

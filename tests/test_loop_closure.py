@@ -66,7 +66,7 @@ def test_loop_detected_and_pose_graph_reduces_ate():
 
     # the revisit detector must have fired with a measured edge
     assert plain.loop_edges, "no loop closures detected on a loop trajectory"
-    i, j, rel, w = plain.loop_edges[0]
+    i, j, rel, w = plain.loop_edges[0][:4]
     assert j - i >= scfg.loop_kf_gap
     assert w >= scfg.loop_min_inliers
 
