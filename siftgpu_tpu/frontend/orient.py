@@ -169,7 +169,11 @@ def compute_orientations(
 
     sw = cfg.orientation_sigma_factor * kp.sigma              # [B, K]
     radius = cfg.orientation_radius_factor * sw
-    wgt = jnp.exp(-r2 / (2.0 * (sw**2)[..., None, None]))
+    # same polynomial window as the Pallas kernel (ops/kp_engine.exp_window)
+    # so cross-backend orientation parity stays tight; see its rationale
+    from ..ops.kp_engine import exp_window
+
+    wgt = exp_window(-r2 / (2.0 * (sw**2)[..., None, None]))
     wgt = jnp.where(r2 <= (radius**2)[..., None, None], wgt, 0.0)
     # exclude pixels outside the TRUE image (no-op single chip; exact for
     # spatially sharded slabs whose halos extend past the image boundary)

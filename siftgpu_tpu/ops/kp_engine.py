@@ -73,6 +73,30 @@ def _read_blk() -> int:
 BLK = _read_blk()
 
 
+# degree-7 least-squares fit of exp(x) on [-4.75, 0] (abs err <= 6.3e-5,
+# rel err at the in-circle extreme x = -rad_f^2/2 = -4.5: 0.2%).  The
+# orientation histogram's Gaussian window weight was 1.7 ms of the 8.5 ms
+# kernel at 8192 keypoints — the VPU's transcendental path is ~an order
+# slower than its mul/add path, and a window weight needs no exp-grade
+# accuracy.  The XLA mirror (frontend/orient.py) uses the SAME polynomial
+# so cross-backend parity stays tight; the NumPy oracle keeps true exp.
+_EXPW = (
+    2.1755081222e-05, 5.1727565826e-04, 5.5559910437e-03, 3.6198773900e-02,
+    1.6038511456e-01, 4.9620069315e-01, 9.9901960879e-01, 9.9993781360e-01,
+)
+
+
+def exp_window(x):
+    """Polynomial stand-in for exp(x) on the Gaussian-window range
+    [-rad_f^2/2, 0]; inputs are clamped (out-of-circle pixels evaluate it
+    too before their mask applies, at arbitrarily negative x)."""
+    x = jnp.maximum(x, -4.75)
+    acc = jnp.full_like(x, _EXPW[0])
+    for c in _EXPW[1:]:
+        acc = acc * x + c
+    return acc
+
+
 def _vec3(vals, dtype):
     """[len(vals), 1, 1] vector from in-kernel scalars.  Mosaic rejects the
     1-D stack + reshape formulation (vector<8> -> vector<8x1x1> shape cast),
@@ -136,7 +160,7 @@ def _kernel(
     misc_ref, sgx_ref, sgy_ref,
     wxy, b_scr, sems, *scr,
     win_y, win_x, win_o, ori_span, nb, nori, G, peak_ratio,
-    sig_f, rad_f, spacing, spc_cell, narrow, packed,
+    sig_f, rad_f, spacing, spc_cell, narrow, packed, pack4,
 ):
     """cur/nxt_ref: [1, 9, BLK] int32 SMEM (plane, wy0, wx0, ro, sy, sx,
     valid, co, ix); flt_ref: [1, 3, BLK] f32 SMEM (ky, kx, sigma); y0g_ref:
@@ -214,6 +238,28 @@ def _kernel(
         ro = pl.multiple_of(cur_ref[0, 3, k], 8)
         nwin[k, :, :128] = pltpu.roll(wxy[slot, k, :, :win_x], -co, 1)[:, :128]
         nwin[k, :, 128:] = pltpu.roll(wxy[slot, k, :, win_x:], -co, 1)[:, :128]
+        if pack4:
+            # FOUR keypoints share each 128-lane register (32-lane slots,
+            # centers 16/48/80/112 for gx and +128 for gy) — quartering the
+            # 36-bin accumulate's VPU element count, and the row span
+            # shrinks to 40 (the circle reaches 16 rows either side).
+            # Valid because every contributing pixel satisfies
+            # (c - kx)^2 <= (rad_f sig_f sigma_max)^2 with
+            # |kx - round(kx)| <= 0.5, so integer offsets from the rounded
+            # center are <= floor(rad + 0.5) <= 16 (`offmax` gate).
+            # Wrapped lanes alias columns the box/circle masks reject.
+            cl = cur_ref[0, 8, k] - cur_ref[0, 2, k] - co
+            q = k % 4
+            rolled = pltpu.roll(
+                nwin[k, pl.ds(ro, ori_span), :], (16 + 32 * q) - cl, 1
+            )
+            if q == 0:
+                owin[k // 4] = rolled
+            else:
+                lane = jax.lax.broadcasted_iota(jnp.int32, (ori_span, 256), 1)
+                keep = (jax.lax.rem(lane, 128) // 32) == q
+                owin[k // 4] = jnp.where(keep, rolled, owin[k // 4])
+            return
         if not packed:
             owin[k] = nwin[k, pl.ds(ro, ori_span), :]
             return
@@ -264,7 +310,7 @@ def _kernel(
             & (row_abs + y0g >= 0) & (row_abs + y0g < global_h)
             & (r2 <= rad2)
         )
-        wgt = jnp.where(inwin, jnp.exp(r2 * (-0.5 / (sw * sw))), 0.0)
+        wgt = jnp.where(inwin, exp_window(r2 * (-0.5 / (sw * sw))), 0.0)
         mag = jnp.sqrt(gxw * gxw + gyw * gyw)
         wm = wgt * mag
         # Bin index WITHOUT atan2 (unsupported in Mosaic): quadrant from the
@@ -329,7 +375,7 @@ def _kernel(
             & (row_abs + y0g >= 0) & (row_abs + y0g < global_h)
             & (r2 <= rad2)
         )
-        wgt = jnp.where(inwin, jnp.exp(r2 * (-0.5 / (sw * sw))), 0.0)
+        wgt = jnp.where(inwin, exp_window(r2 * (-0.5 / (sw * sw))), 0.0)
         mag = jnp.sqrt(gxw * gxw + gyw * gyw)
         wm = wgt * mag
         ax = jnp.abs(gxw)
@@ -390,7 +436,7 @@ def _kernel(
             (br >= 0) & (br < win_o) & (bc >= 0) & (bc < win_o)
             & (gr >= 0) & (gr < global_h) & (r2 <= c_r2)
         )
-        wgt = jnp.where(inwin, jnp.exp(r2 * c_iv), 0.0)
+        wgt = jnp.where(inwin, exp_window(r2 * c_iv), 0.0)
         mag = jnp.sqrt(gxw * gxw + gyw * gyw)
         wm = wgt * mag
         ax = jnp.abs(gxw)
@@ -417,7 +463,91 @@ def _kernel(
         hb = jnp.sum(jnp.where(lane2 >= 64, st, 0.0), axis=2)
         return jnp.stack([ha, hb], axis=1).reshape(BLK, nb)
 
+    def packed_hist4():
+        """Quad-packed variant: the 36-bin accumulate runs on
+        [BLK/4, ori_span(40), 128] with FOUR keypoints per register in
+        32-lane slots (see `build_narrow`).  2.4x fewer histogram elements
+        than the pair path ([BLK/2, 48, 128]); identical per-pixel math."""
+        BLK4 = BLK // 4
+        lane1 = jax.lax.broadcasted_iota(jnp.int32, (BLK4, 1, 128), 2)
+        lq1 = lane1 // 32
+
+        def quarters(fn, dtype):
+            vs = [
+                _vec3([fn(k) for k in range(q, BLK, 4)], dtype)
+                for q in range(4)
+            ]
+            return jnp.where(
+                lq1 == 0, vs[0],
+                jnp.where(lq1 == 1, vs[1],
+                          jnp.where(lq1 == 2, vs[2], vs[3])),
+            )
+
+        wy0ro = lambda k: cur_ref[0, 1, k] + cur_ref[0, 3, k]
+        ixof = lambda k: cur_ref[0, 8, k] - (16 + 32 * (k % 4))
+        sww = lambda k: sig_f * flt_ref[0, 2, k]
+        fy = jnp.float32
+        c_oy = quarters(lambda k: wy0ro(k).astype(fy) - flt_ref[0, 0, k], fy)
+        c_ox = quarters(lambda k: ixof(k).astype(fy) - flt_ref[0, 1, k], fy)
+        c_by = quarters(lambda k: wy0ro(k) - cur_ref[0, 4, k], jnp.int32)
+        c_bx = quarters(lambda k: ixof(k) - cur_ref[0, 5, k], jnp.int32)
+        c_gy = quarters(lambda k: wy0ro(k) + y0g, jnp.int32)
+        c_iv = quarters(lambda k: -0.5 / (sww(k) * sww(k)), fy)
+        c_r2 = quarters(lambda k: (rad_f * sww(k)) * (rad_f * sww(k)), fy)
+
+        sh3 = (BLK4, ori_span, 128)
+        rows = jax.lax.broadcasted_iota(jnp.int32, sh3, 1)
+        cols = jax.lax.broadcasted_iota(jnp.int32, sh3, 2)
+        gxw = owin[:, :, :128]
+        gyw = owin[:, :, 128:]
+        oy = rows.astype(fy) + c_oy
+        ox = cols.astype(fy) + c_ox
+        r2 = oy * oy + ox * ox
+        br = rows + c_by
+        bc = cols + c_bx
+        gr = rows + c_gy
+        inwin = (
+            (br >= 0) & (br < win_o) & (bc >= 0) & (bc < win_o)
+            & (gr >= 0) & (gr < global_h) & (r2 <= c_r2)
+        )
+        wgt = jnp.where(inwin, exp_window(r2 * c_iv), 0.0)
+        mag = jnp.sqrt(gxw * gxw + gyw * gyw)
+        wm = wgt * mag
+        ax = jnp.abs(gxw)
+        ay = jnp.abs(gyw)
+        s = jnp.zeros(ax.shape, jnp.int32)
+        for t in tans:
+            s = s + (ay >= ax * t).astype(jnp.int32)
+        qx = (gxw > 0.0) | ((gxw == 0.0) & (gyw < 0.0))
+        qy = (gyw > 0.0) | ((gyw == 0.0) & qx)
+        bins = jnp.where(
+            qy,
+            jnp.where(qx, s, (2 * nq - 1) - s),
+            jnp.where(qx, (4 * nq - 1) - s, 2 * nq + s),
+        )
+        # ONE broadcast-compare accumulate instead of nb separate masked
+        # reduce chains (the loop and the broadcast measured within noise of
+        # each other — the [BLK4, nb, 40, 128] intermediate traffic is the
+        # cost either way; a bf16-select variant was tried and measured no
+        # faster).  ~1.6 ms of the 5.0 ms kernel; remaining headroom here
+        # needs a formulation that avoids materializing the one-hot.
+        bid = jax.lax.broadcasted_iota(
+            jnp.int32, (BLK4, nb, ori_span, 128), 1
+        )
+        st = jnp.sum(
+            jnp.where(bins[:, None] == bid, wm[:, None], 0.0), axis=2
+        )                                              # [BLK4, nb, 128]
+        lane2 = jax.lax.broadcasted_iota(jnp.int32, (BLK4, nb, 128), 2)
+        lq2 = lane2 // 32
+        # where-selects (not mask multiplies): see packed_hist
+        hs = [
+            jnp.sum(jnp.where(lq2 == q, st, 0.0), axis=2) for q in range(4)
+        ]                                              # each [BLK4, nb]
+        return jnp.stack(hs, axis=1).reshape(BLK, nb)
+
     def hist_fn():
+        if pack4:
+            return packed_hist4()
         if narrow:
             return packed_hist() if packed else batched_hist()
         return jnp.concatenate([one_hist(k) for k in range(BLK)], axis=0)
@@ -487,14 +617,23 @@ def _compute_block(
     misc_ref[:, nori:] = jnp.concatenate(haspks, axis=1)
 
     # ---------------- descriptor sampling (per orientation) ----------------
-    # all-BLK batched tent construction: per-keypoint scalars broadcast as
-    # [BLK, 1, 1] so each build is ONE VPU op over the whole block
+    # G2 lives on the LANE axis THROUGHOUT: positions/bounds are computed on
+    # [BLK, 1, G2] full-lane arrays, tents on [BLK, nx|win_y, G2], and the
+    # MXU contracts the SUBLANE (column) axis — so no array in the stage is
+    # lane-degenerate and nothing needs a relayout.  The previous layout put
+    # G2 on sublanes: the per-sample position/rotation/bounds chain then ran
+    # on [BLK, G2, 1] arrays at 1/128 lane utilization and cost 2.6 ms of
+    # the 8.3 ms kernel (measured by constant-substitution probes); a
+    # lane-layout chain + jnp.swapaxes relayout was tried and measured
+    # WORSE (11.0 ms) — Mosaic relayouts dominate.  This layout needs none.
     half = (G - 1) / 2.0
-    n_i = jax.lax.broadcasted_iota(jnp.int32, (G2, 1), 0)
-    gi = n_i // G                                        # sample grid row
-    gj = n_i - gi * G                                    # sample grid col
-    rows_d = jax.lax.broadcasted_iota(jnp.int32, (G2, win_y), 1).astype(jnp.float32)
-    cols_d = jax.lax.broadcasted_iota(jnp.int32, (G2, nx), 1).astype(jnp.float32)
+    lane_g = jax.lax.broadcasted_iota(jnp.int32, (BLK, 1, G2), 2)
+    gil = (lane_g // G).astype(jnp.float32)              # sample grid row
+    gjl = jax.lax.rem(lane_g, G).astype(jnp.float32)     # sample grid col
+    rows_i = jax.lax.broadcasted_iota(
+        jnp.int32, (1, win_y, 1), 1).astype(jnp.float32)
+    cols_i = jax.lax.broadcasted_iota(
+        jnp.int32, (1, nx, 1), 1).astype(jnp.float32)
 
     def iv(idx):
         return _vec3([cur_ref[0, idx, k] for k in range(BLK)], jnp.int32)
@@ -507,8 +646,8 @@ def _compute_block(
     kyv = fv(0)
     kxv = fv(1)
     spc = spacing * fv(2) / spc_cell                     # [BLK, 1, 1]
-    u = (gj.astype(jnp.float32) - half)[None] * spc      # [BLK, G2, 1]
-    v = (gi.astype(jnp.float32) - half)[None] * spc
+    u = (gjl - half) * spc                               # [BLK, 1, G2]
+    v = (gil - half) * spc
 
     # [BLK, WIN_Y, 2*nx]: compact per-keypoint windows (narrow) or the
     # current DMA slot of the aligned windows
@@ -518,36 +657,36 @@ def _compute_block(
         th = _vec3([theta[k, o] for k in range(BLK)], jnp.float32)
         ct = jnp.cos(th)
         st = jnp.sin(th)
-        px = kxv + ct * u - st * v                       # [BLK, G2, 1]
+        px = kxv + ct * u - st * v                       # [BLK, 1, G2]
         py = kyv + st * u + ct * v
         inb = (
             (px >= 0.0) & (px <= (w_true - 1).astype(jnp.float32))
             & (py + y0g >= 0.0)
             & (py + y0g <= (global_h - 1).astype(jnp.float32))
         ).astype(jnp.float32)
-        # column tents (bf16, MXU lhs); row tents stay a VPU-side f32 temp.
-        # Contract the COLUMN axis on the MXU first (u = B @ W^T), then the
-        # row-tent reduction runs over win_y (< nx) lanes on the VPU — the
-        # old order (rows on MXU, dense column reduce on VPU over 2*nx
-        # lanes) was VPU-bound here.
+        # column tents (bf16, MXU rhs, [BLK, nx, G2]); row tents stay a
+        # VPU-side f32 temp [BLK, win_y, G2]
         b_scr[:, :, :] = (jnp.maximum(
-            1.0 - jnp.abs((px - cbf) - cols_d[None]), 0.0
+            1.0 - jnp.abs((px - cbf) - cols_i), 0.0
         ) * inb).astype(jnp.bfloat16)
-        a_t = jnp.maximum(1.0 - jnp.abs((py - wy0f) - rows_d[None]), 0.0)
-        dn = (((2,), (2,)), ((0,), (0,)))
+        a_t = jnp.maximum(1.0 - jnp.abs((py - wy0f) - rows_i), 0.0)
+        # contract the COLUMN (sublane) axis on the MXU: [BLK, win_y, nx]
+        # x [BLK, nx, G2] -> [BLK, win_y, G2] (N = G2 = 256: no MXU column
+        # padding waste), then the row-tent reduction is a sublane reduce
+        dn = (((2,), (1,)), ((0,), (0,)))
         u_x = jax.lax.dot_general(
-            b_scr[:, :, :], wb[:, :, :nx], dimension_numbers=dn,
+            wb[:, :, :nx], b_scr[:, :, :], dimension_numbers=dn,
             preferred_element_type=jnp.float32,
-        )                                                # [BLK, G2, win_y]
+        )                                                # [BLK, win_y, G2]
         u_y = jax.lax.dot_general(
-            b_scr[:, :, :], wb[:, :, nx:], dimension_numbers=dn,
+            wb[:, :, nx:], b_scr[:, :, :], dimension_numbers=dn,
             preferred_element_type=jnp.float32,
         )
         sgx_ref[:, o * G2 : (o + 1) * G2] = jnp.sum(
-            u_x * a_t, axis=2, dtype=jnp.float32
+            u_x * a_t, axis=1, dtype=jnp.float32
         )
         sgy_ref[:, o * G2 : (o + 1) * G2] = jnp.sum(
-            u_y * a_t, axis=2, dtype=jnp.float32
+            u_y * a_t, axis=1, dtype=jnp.float32
         )
 
     sample_ori(0)
@@ -572,13 +711,14 @@ def _compute_block(
     jax.jit,
     static_argnames=(
         "nori", "nb", "G", "peak_ratio", "sig_f", "rad_f", "spacing",
-        "spc_cell", "win_o", "R", "margin", "win_y", "ori_span", "interpret",
+        "spc_cell", "win_o", "R", "margin", "win_y", "ori_span", "smax",
+        "interpret",
     ),
 )
 def _orient_sample_impl(
     gx, gy, plane, ky, kx, sigma, valid, y0g, w_true, global_h,
     *, nori, nb, G, peak_ratio, sig_f, rad_f, spacing, spc_cell,
-    win_o, R, margin, win_y, ori_span, interpret,
+    win_o, R, margin, win_y, ori_span, smax, interpret,
 ):
     P, H, Wimg = gx.shape
     N = plane.shape[0]
@@ -610,12 +750,23 @@ def _orient_sample_impl(
     ix = jnp.round(kx).astype(jnp.int32)
     sy = jnp.clip(iy - R, 0, H2 - win_o)
     sx = jnp.clip(ix - R, 0, W2 - win_o)
-    ro = jnp.clip(((sy - wy0) // 8) * 8, 0, win_y - ori_span)
     # narrow compute window: dynamic lane offset centering the keypoint in a
     # 128-lane window (valid whenever every contributing pixel is within
     # 62 px of the keypoint column, i.e. margin <= 62)
     narrow = margin <= 62 and win_x == 256
     co = jnp.clip(ix - wx0 - 64, 0, 128)
+    # quad-packing gate: every contributing pixel's INTEGER offset from the
+    # rounded center is <= floor(rad + 0.5) (|kx - ix| <= 0.5 and the circle
+    # test is sharp), so 32-lane slots suffice when that bound is <= 16
+    offmax = math.floor(rad_f * sig_f * smax + 0.5)
+    pack4 = narrow and offmax <= 16 and BLK % 4 == 0
+    if pack4:
+        # rows: the circle reaches 16 either side of the rounded center ->
+        # 33 rows + up to 7 rows of 8-alignment slack
+        ori_span = -(-(2 * 16 + 1 + 7) // 8) * 8
+        ro = jnp.clip(((iy - 16 - wy0) // 8) * 8, 0, win_y - ori_span)
+    else:
+        ro = jnp.clip(((sy - wy0) // 8) * 8, 0, win_y - ori_span)
 
     nbk = Np // BLK
     ints = jnp.stack(
@@ -634,12 +785,14 @@ def _orient_sample_impl(
         [jnp.asarray(a, jnp.int32).reshape(()) for a in (y0g, w_true, global_h)]
     ).reshape(1, 3)
 
-    packed = narrow and (R + 1 <= 31) and BLK % 2 == 0
+    packed = (narrow and (R + 1 <= 31) and BLK % 2 == 0
+              and not pack4)
     kern = functools.partial(
         _kernel,
         win_y=win_y, win_x=win_x, win_o=win_o, ori_span=ori_span, nb=nb,
         nori=nori, G=G, peak_ratio=peak_ratio, sig_f=sig_f, rad_f=rad_f,
         spacing=spacing, spc_cell=spc_cell, narrow=narrow, packed=packed,
+        pack4=pack4,
     )
     in_specs = [
         pl.BlockSpec((1, 9, BLK), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
@@ -667,14 +820,15 @@ def _orient_sample_impl(
         ],
         scratch_shapes=[
             pltpu.VMEM((2, BLK, win_y, 2 * win_x), jnp.float32),
-            pltpu.VMEM((BLK, G2, 128 if narrow else win_x), jnp.bfloat16),
+            pltpu.VMEM((BLK, 128 if narrow else win_x, G2), jnp.bfloat16),
             pltpu.SemaphoreType.DMA((2, 2 * BLK)),
         ]
         + (
             [
                 pltpu.VMEM((BLK, win_y, 256), jnp.float32),
                 pltpu.VMEM(
-                    (BLK // 2 if packed else BLK, ori_span, 256), jnp.float32
+                    (BLK // 4 if pack4 else (BLK // 2 if packed else BLK),
+                     ori_span, 256), jnp.float32
                 ),
             ]
             if narrow
@@ -735,6 +889,6 @@ def orient_sample(
         sig_f=cfg.orientation_sigma_factor, rad_f=cfg.orientation_radius_factor,
         spacing=cfg.descriptor_spacing, spc_cell=cfg.descriptor_samples_per_cell,
         win_o=win_o, R=cfg.orient_window_radius, margin=margin,
-        win_y=win_y, ori_span=ori_span,
+        win_y=win_y, ori_span=ori_span, smax=float(cfg.max_detect_sigma),
         interpret=interpret,
     )
