@@ -220,9 +220,22 @@ def _winners_and_records(
     the winner's within-block corner rides in the two low mantissa bits of
     the score (`_pack_corner`), so no post-top-k corner gather is needed.
     """
+    bscore, recs, (Hs, Ws), (nb1, Hs2) = _octave_scores(
+        dog, cfg, owned_rows, scores_impl
+    )
+    top, bidx = _run_topk(bscore, cap, cfg)
+    win = _decode_topk(top, bidx, cap, nb1, Hs2, Ws)
+    return win, recs, (Hs, Ws)
+
+
+def _octave_scores(dog, cfg, owned_rows=None, scores_impl=None):
+    """Dense scores + pooling only — the per-octave front half of
+    `_winners_and_records`; `detect_pyramid` batches the top-k across
+    octaves (per-call top_k overhead dominated the tail octaves: 8.1 ms of
+    the 4K detect stage across 8 calls).  Returns
+    (bscore [B, nb], records, (Hs, Ws), (nb1, Hs2))."""
     B, L, H, W = dog.shape
     S = L - 2
-
     impl = scores_impl or _pick_scores_impl(cfg)
     if impl.startswith("pallas"):
         from ..ops.detect_scores import detect_scores
@@ -234,12 +247,10 @@ def _winners_and_records(
         s_max, s_min, r_val, r_ol, r_oy, r_ox = _dense_scores_xla(
             dog, cfg, owned_rows
         )
-    # score planes arrive ROW-POOLED [B, S, Hs/2, Ws]; records arrive at
-    # full [B, S, Hs(rec), Ws] resolution
     Hs2, Ws = s_max.shape[-2:]
     Hs = r_val.shape[-2]
 
-    def pooled(score):              # remaining lane-pair pool
+    def pooled(score):
         return jax.lax.reduce_window(
             score, 0.0, jax.lax.max,
             window_dimensions=(1, 1, 1, 2), window_strides=(1, 1, 1, 2),
@@ -250,6 +261,11 @@ def _winners_and_records(
     bscore = jnp.concatenate(
         [pooled(s_max).reshape(B, nb1), pooled(s_min).reshape(B, nb1)], axis=1
     )
+    return bscore, (r_val, r_ol, r_oy, r_ox), (Hs, Ws), (nb1, Hs2)
+
+
+def _run_topk(bscore, cap, cfg):
+    """Exact/approx top-k policy on a [rows, n] score matrix."""
     use_approx = cfg.detect_topk == "approx" or (
         cfg.detect_topk == "auto"
         and bscore.shape[1] >= cfg.topk_approx_min
@@ -265,10 +281,14 @@ def _winners_and_records(
         )
         bidx = bidx.astype(jnp.int32)
     else:
-        top, bidx = jax.lax.top_k(bscore, k)         # [B, k]
+        top, bidx = jax.lax.top_k(bscore, k)         # [rows, k]
     if k < cap:  # pad to the fixed capacity; zero scores are masked by `cand`
         top = jnp.pad(top, ((0, 0), (0, cap - k)))
         bidx = jnp.pad(bidx, ((0, 0), (0, cap - k)))
+    return top, bidx
+
+
+def _decode_topk(top, bidx, cap, nb1, Hs2, Ws):
     cand = top > 0.0
     bidx1 = bidx % nb1                               # drop the type axis
     l = bidx1 // (Hs2 * (Ws // 2)) + 1               # DoG slice index in [1, S]
@@ -278,8 +298,7 @@ def _winners_and_records(
     py = (rem // (Ws // 2)) * 2 + (corner >> 1)
     px = (rem % (Ws // 2)) * 2 + (corner & 1)
     # padded rows/cols can never win: their scores are 0 and cand masks them
-    win = OctaveWinners(py=py, px=px, l=l, cand=cand)
-    return win, (r_val, r_ol, r_oy, r_ox), (Hs, Ws)
+    return OctaveWinners(py=py, px=px, l=l, cand=cand)
 
 
 # The subpixel solve no longer gathers 3x3x3 DoG patches: the dense score
@@ -376,18 +395,72 @@ def detect_pyramid(
     `OctaveKeypoints`, identical to calling `detect_octave` per octave."""
     caps = caps or [cfg.octave_cap(o) for o in range(len(pyr))]
     B = pyr[0].dog.shape[0]
-    wins, ridxs, dims, flats = [], [], [], []
-    off = 0
-    for oc, cap in zip(pyr, caps):
+    # phase 1: dense scores + pooled candidate arrays for every octave
+    bscores, recss, hw, metas, dims = [], [], [], [], []
+    for oc in pyr:
         _, L, H, W = oc.dog.shape
-        S = L - 2
-        win, recs, (Hs, Ws) = _winners_and_records(
-            oc.dog, cfg, cap, None, scores_impl
+        bscore, recs, (Hs, Ws), meta = _octave_scores(
+            oc.dog, cfg, None, scores_impl
         )
+        bscores.append(bscore)
+        recss.append(recs)
+        hw.append((Hs, Ws, L - 2))
+        metas.append(meta)
+        dims.append((H, W))
+
+    # phase 2: top-k — octave 0 alone (its candidate array dwarfs the
+    # rest); the other octaves PAD into one batched call WHEN the padded
+    # group rides the approx path (cost per element is tiny there, and the
+    # per-call top_k floor dominated the tail octaves: measured 4K detect
+    # top-k 8.8 ms per-octave vs 6.7 batched).  With an exact-path group
+    # (small images) the 4x-per-octave padding inflation costs more than
+    # the saved call floors (640: 3.1 -> 3.6 ms), so stay per-octave.
+    # Parity: top-k_max of a zero-padded row, sliced to the octave's cap,
+    # equals the octave's own top-cap for the exact path (padding scores
+    # are 0 and `cand` masks them); the batched group's approx recall is
+    # re-validated by scripts/approx_recall.py.
+    tops, bidxs = [None] * len(pyr), [None] * len(pyr)
+    tops[0], bidxs[0] = _run_topk(bscores[0], caps[0], cfg)
+    n_max = max((b.shape[1] for b in bscores[1:]), default=0)
+    batch_ok = (
+        len(pyr) > 2
+        and cfg.detect_topk != "exact"
+        and n_max >= cfg.topk_approx_min
+        and jax.default_backend() != "cpu"
+    )
+    if batch_ok:
+        k_max = max(
+            min(c, b.shape[1]) for c, b in zip(caps[1:], bscores[1:])
+        )
+        batch = jnp.stack(
+            [jnp.pad(b, ((0, 0), (0, n_max - b.shape[1])))
+             for b in bscores[1:]], axis=1,
+        ).reshape(B * (len(pyr) - 1), n_max)
+        topb, bidxb = _run_topk(batch, k_max, cfg)
+        topb = topb.reshape(B, len(pyr) - 1, -1)
+        bidxb = bidxb.reshape(B, len(pyr) - 1, -1)
+        for i, cap in enumerate(caps[1:]):
+            t = topb[:, i, :cap]
+            x = bidxb[:, i, :cap]
+            if cap > t.shape[1]:
+                t = jnp.pad(t, ((0, 0), (0, cap - t.shape[1])))
+                x = jnp.pad(x, ((0, 0), (0, cap - x.shape[1])))
+            tops[i + 1], bidxs[i + 1] = t, x
+    else:
+        for i in range(1, len(pyr)):
+            tops[i], bidxs[i] = _run_topk(bscores[i], caps[i], cfg)
+
+    # phase 3: decode winners + merge the record gathers into ONE call
+    wins, ridxs, flats = [], [], []
+    off = 0
+    for i, cap in enumerate(caps):
+        Hs, Ws, S = hw[i]
+        nb1, Hs2 = metas[i]
+        win = _decode_topk(tops[i], bidxs[i], cap, nb1, Hs2, Ws)
         wins.append(win)
         ridxs.append(record_indices(win, S, Hs, Ws) + off)
-        dims.append((H, W))
-        flats.append(jnp.concatenate([r.reshape(B, -1) for r in recs], axis=1))
+        flats.append(
+            jnp.concatenate([r.reshape(B, -1) for r in recss[i]], axis=1))
         off += N_REC * S * Hs * Ws
     rall = jnp.take_along_axis(
         jnp.concatenate(flats, axis=1), jnp.concatenate(ridxs, axis=1), axis=1
