@@ -15,17 +15,21 @@ Here each keypoint's gradient window is DMA'd HBM -> VMEM exactly once
 in-kernel:
 
   1. 36-bin Gaussian-weighted orientation histogram over a dynamically
-     row-sliced sub-window (VPU compare-accumulate; exact same pixel set as
-     the XLA path: clipped window ∩ radius circle ∩ global image rows);
+     row-sliced sub-window, QUAD-packed (4 keypoints per 128-lane register;
+     exact same pixel set as the XLA path: clipped window ∩ radius circle
+     ∩ global image rows), Gaussian window via `exp_window`;
   2. histogram smoothing x6 as ONE tiny matmul against a precomputed
      circulant matrix (box smoothing is linear), with left/right-rolled
      copies fused into the same constant so peak tests need no roll ops;
   3. peak selection (<= NORI peaks >= peak_ratio * max, ties -> smallest
      bin like `lax.top_k`), parabola refinement via one-hot dots;
-  4. per-orientation descriptor sampling: rotated 16x16 grid, bilinear tent
-     weights as a [G2, WIN_Y] x [WIN_Y, 2*WIN_X] bf16 MXU matmul (row
-     interpolation) + VPU column-tent reduction — the desc_sampler.py
-     formulation, now fed by the shared window.
+  4. per-orientation descriptor sampling in G2-ON-LANES layout: rotated
+     16x16 grid positions/bounds on [BLK, 1, G2] full-lane arrays, column
+     tents [BLK, nx, G2] contracted against the window on the MXU
+     ([BLK, win_y, nx] x [BLK, nx, G2] -> [BLK, win_y, G2], no N-padding
+     waste), row-tent sublane reduce — no lane-degenerate intermediates
+     and no relayouts (each alternative measured slower; see the round-4
+     commit).
 
 Geometry: DMA offsets must be tile-aligned (8 sublanes x 128 lanes); window
 origins snap down to the tile grid and margins are derived from the config's
@@ -49,12 +53,13 @@ _TWO_PI = 6.283185307179586
 _NEG = -1e30
 # keypoints per grid step (env knob for benchmarking block-size tradeoffs:
 # larger BLK amortizes per-step overhead, costs VMEM).  Measured v5e, 8192
-# noise-gradient slots at 640x480: BLK=8 1119 ns/slot, 16 1041, 32 1016 —
-# 16 takes ~all the gain at half the scratch of 32.
+# noise-gradient slots at 640x480 on the round-4 lane-major kernel:
+# BLK=16 619 ns/slot, 32 593 (-4%; ~24 MB scratch, well under the 96 MB
+# scoped-vmem limit) — 32 is the default since round 4.
 def _read_blk() -> int:
     import os
 
-    raw = os.environ.get("SIFTGPU_KP_BLK", "16")
+    raw = os.environ.get("SIFTGPU_KP_BLK", "32")
     try:
         v = int(raw)
     except ValueError:
