@@ -68,6 +68,7 @@ def main() -> None:
         pt_idx=globalize(sprob.pt_idx, P("ba")),
         uv=globalize(sprob.uv, P("ba")),
         w=globalize(sprob.w, P("ba")),
+        pt_fixed=globalize(sprob.pt_fixed, P("ba")),
     )
     state, _ = dist_ba.run_ba_distributed(
         gprob, mesh, axis="ba", iters=8, n_cg=25
