@@ -220,3 +220,25 @@ def test_landmark_fusion_remaps_and_frees():
         assert not np.isin(k.pt_ids, new_slots).any(), (
             "pt_ids must be remapped off fused slots"
         )
+
+
+def test_refit_map_points_restores_consistency():
+    """`refit_map_points` (points-only Huber GN, poses pinned): perturbed
+    landmarks return to reprojection consistency without any pose moving."""
+    (kfs, traj, map_X, map_mask, anchor, C, intr, X_true) = _drifted_state(
+        s_end=1.0, t_end=0.0)   # undrifted, internally consistent state
+    before = _reproj_med(kfs, map_X, intr)
+    assert before < 0.5
+
+    rng = np.random.default_rng(3)
+    map_X_noisy = map_X + rng.normal(0, 0.05, map_X.shape).astype(np.float32)
+    noisy = _reproj_med(kfs, map_X_noisy, intr)
+    assert noisy > 1.0
+
+    poses_before = np.stack([k.pose for k in kfs])
+    S.refit_map_points(kfs, map_X_noisy, map_mask, intr, iters=4)
+    after = _reproj_med(kfs, map_X_noisy, intr)
+    assert after < 0.35 * noisy, (after, noisy)
+    np.testing.assert_array_equal(
+        np.stack([k.pose for k in kfs]), poses_before,
+    )
