@@ -4,12 +4,13 @@ TPU-native replacement for `SiftMatchGPU` / `ProgramCU::MultiplyDescriptor[G]` +
 `GetRowMatch/GetColMatch` (SURVEY.md §2.4 items 7-8, §3.2 ⚠).  The n0 x n1 x 128
 dot-product volume is MXU work.  uint8 descriptors (the production format, and
 the reference's own `MultiplyDescriptor` design point: tiled uint8 dot-products)
-take the INTEGER MXU path: recenter to int8, contract int8 x int8 -> int32 on
-the MXU (exact — |dot| < 2^23), undo the recenter with a rank-1 correction from
-per-row sums, and fold the two reciprocal L2 norms in as an f32 epilogue.  That
-is bit-exact integer arithmetic followed by ONE f32 rounding per entry —
-*tighter* than the old f32 `Precision.HIGHEST` path (a 6-pass bf16 emulation)
-and ~8x its MXU throughput.  Float descriptors fall back to L2-normalized f32
+take the exact-bf16 MXU path (`_u8_parts`/`_u8_sim`): uint8 values (0..255) are
+exact in bf16's 8 significand bits and the 128-term integer dot stays < 2^23,
+so ONE bf16 MXU pass with f32 accumulation reproduces the integer dot
+bit-exactly — no recentering or multi-pass emulation — followed by a single
+f32 reciprocal-norm epilogue.  (An int8-recenter + rank-1-correction scheme
+was the first design; the bf16-exact form replaced it — same exactness, one
+pass, no correction term.)  Float descriptors fall back to L2-normalized f32
 at HIGHEST precision.  Distances are angular — d = arccos(sim) — matching the
 reference's acos + distmax(0.7)/ratiomax(0.8)/mutual-best semantics.
 

@@ -189,7 +189,7 @@ def _pose_graph_refine(result, mesh: Mesh, iters: int = 10,
     (anchor-keyframe point transport) and duplicated-landmark fusion all
     live in `pipeline.slam.apply_pose_graph_sim3`; this wrapper supplies
     the edge-sharded distributed solvers."""
-    from ..pipeline.slam import apply_pose_graph_sim3
+    from ..pipeline.slam import apply_pose_graph_sim3, refit_map_points
 
     kfs = result.keyframes
     if kfs is None or len(kfs) < 3:
@@ -199,12 +199,17 @@ def _pose_graph_refine(result, mesh: Mesh, iters: int = 10,
         result.map_anchor if getattr(result, "map_anchor", None) is not None
         else np.full(len(result.map_mask), -1, np.int32)
     )
-    apply_pose_graph_sim3(
+    applied = apply_pose_graph_sim3(
         kfs, result.trajectory, result.map_points, result.map_mask, anchor,
         result.loop_edges, optimizer=make_pg_optimizer(flat),
         iters=iters, loop_weight=loop_weight,
         odo_edges=getattr(result, "odo_edges", None),
     )
+    if applied and intr is not None:
+        # points-only consistency refit against the corrected (pinned)
+        # poses: anchor transport is slightly non-rigid across anchor
+        # boundaries (see slam.refit_map_points)
+        refit_map_points(kfs, result.map_points, result.map_mask, intr)
     return result
 
 
@@ -259,9 +264,30 @@ def run_global_ba(result, mesh: Optional[Mesh], intr, iters: int = 4,
     else:
         state = ba.run_ba(prob, iters=iters, n_cg=n_cg)
     new_cams = np.asarray(state.cams)
+    old_cams = np.stack([k.pose for k in kfs]).astype(np.float32)
     for ci, k in enumerate(kfs):
         k.pose = new_cams[ci]
         result.trajectory[k.frame_idx] = new_cams[ci]
+    # re-anchor non-keyframe rows to their (moved) preceding keyframe with
+    # the same T_t <- T_t . T_kf_old^-1 . T_kf_new propagation the pose-graph
+    # correction uses — otherwise the exported trajectory mixes pre- and
+    # post-polish frames (ADVICE r4 #4)
+    from ..geometry import pose as P
+
+    kf_rows = np.asarray([k.frame_idx for k in kfs])
+    order = np.argsort(kf_rows)
+    kf_rows_s = kf_rows[order]
+    T_total = len(result.trajectory)
+    rows = np.arange(T_total)
+    anchor = np.maximum(np.searchsorted(kf_rows_s, rows, "right") - 1, 0)
+    Rt, tt = P.exp_se3(jnp.asarray(result.trajectory))
+    Ro, to = P.exp_se3(jnp.asarray(old_cams[order][anchor]))
+    Rn, tn = P.exp_se3(jnp.asarray(new_cams[order][anchor]))
+    Rrel, trel = P.compose(Rt, tt, *P.inverse(Ro, to))
+    Rtn, ttn = P.compose(Rrel, trel, Rn, tn)
+    traj_new = np.array(P.log_se3(Rtn, ttn), np.float32)
+    traj_new[kf_rows] = new_cams          # keyframe rows stay exact
+    result.trajectory[:] = traj_new
     result.map_points[:] = np.asarray(state.points)
     m.event("global_ba", n_kf=len(kfs), n_obs=len(obs_c),
             cost=float(np.asarray(state.cost)))

@@ -334,10 +334,16 @@ def cmd_slam(argv):
     # accepted after the last correction) — the exported TUM trajectory is
     # loop-corrected, matching the config-5 pipeline (ADVICE r3 #1)
     if res.loop_edges:
-        slam_mod.apply_pose_graph_sim3(
+        applied = slam_mod.apply_pose_graph_sim3(
             res.keyframes, res.trajectory, res.map_points, res.map_mask,
             res.map_anchor, res.loop_edges, odo_edges=res.odo_edges,
         )
+        if applied:
+            # points-only consistency refit against the corrected poses
+            # (anchor transport is slightly non-rigid across anchors)
+            slam_mod.refit_map_points(
+                res.keyframes, res.map_points, res.map_mask, intr
+            )
     dt = time.perf_counter() - t0
     print(
         f"{T} frames in {dt:.1f}s ({T / dt:.1f} fps incl. compile): "

@@ -107,13 +107,15 @@ class SlamConfig:
     # that carry drift information.
     loop_min_frame_gap: int = 12
     loop_min_inliers: int = 12     # PnP inliers to accept the loop edge
-    # measure relative SCALE on loop edges by 3D-3D similarity registration
-    # of the revisit pair's duplicated map points (feeds the Sim(3) pose
-    # graph's lambda component).  Sound since round 4: the "old" cloud is the
-    # keyframe's landmark SNAPSHOT taken at retirement (kp["pts_host"]), so
-    # windowed BA dragging the live map no longer contaminates the
-    # registration (VERDICT r3 task 8 — was off by default for exactly that
-    # drift-mixture reason).
+    # measure relative SCALE on loop edges from the revisit pair's
+    # duplicated map points (feeds the Sim(3) pose graph's lambda
+    # component).  Sound since round 4: both clouds come from the CURRENT
+    # map (retirement-time snapshots were tried and REJECTED — see the
+    # rationale in detect_loop), compared as a median pairwise-distance
+    # ratio in each camera's local frame and gated on ratio-spread
+    # consistency, so coherent windowed-BA point drift cancels instead of
+    # contaminating the measurement (VERDICT r3 task 8 — was off by
+    # default before that fix).
     loop_sim3_scale: bool = True
     # apply loop corrections ONLINE: when a loop edge is accepted, run the
     # Sim(3) pose graph over the current keyframe chain immediately, correct
@@ -473,8 +475,9 @@ def run_slam(frames, intr, cfg, mcfg, scfg: SlamConfig,
     `run_slam(..., resume=checkpoint.load_slam_state(path))`.
 
     `pg_fn`: optional pose-graph optimizer override for ONLINE loop
-    corrections, callable (Sim3PoseGraph, iters) -> (graph, costs) — e.g.
-    the edge-sharded distributed solver (config 5); defaults to the
+    corrections, callable (Sim3PoseGraph, iters, n_fix) -> (graph, costs)
+    (`n_fix` = number of leading keyframes to freeze) — e.g. the
+    edge-sharded distributed solver (config 5); defaults to the
     single-device dense/CG auto-select in `apply_pose_graph_sim3`."""
     import jax.numpy as jnp
 
@@ -896,6 +899,11 @@ def run_slam(frames, intr, cfg, mcfg, scfg: SlamConfig,
                 # pre-correction frame — reset it rather than extrapolate
                 # a stale twist from the corrected pose
                 vel[:] = 0.0
+                # restore map consistency: anchor transport is exact per
+                # anchor but slightly non-rigid across anchor boundaries;
+                # a points-only Huber refit against the (pinned) corrected
+                # poses removes the residual before tracking resumes
+                refit_map_points(keyframes, map_X, map_mask, intr)
                 metrics.event("loop_correction", kf_j=n_new,
                               n_kf=len(keyframes))
 
@@ -1160,6 +1168,24 @@ def run_slam(frames, intr, cfg, mcfg, scfg: SlamConfig,
                         desc=jnp.asarray(d["kf_desc"]), mask=d["kf_mask"]),
                 pt_ids=d["kf_pt_ids"].copy(),
             ))
+        if "map_anchor" not in d:
+            # legacy (pre-round-4) checkpoint: synthesize landmark anchors so
+            # windowed BA's retired-anchor freeze (pt_fixed = anchor < base)
+            # does not permanently freeze the restored window's landmarks and
+            # pose-graph map transport does not skip them (ADVICE r4 #2).
+            # The true anchor (the inserting keyframe) is unrecoverable; the
+            # EARLIEST restored observer is the adjacent approximation — the
+            # inserter is that keyframe or its successor, so transport moves
+            # the point with (a neighbor of) the keyframe that made it.
+            for i_k, k in enumerate(keyframes):
+                if k.pt_ids.size:
+                    ids = k.pt_ids[k.pt_ids >= 0]
+                    unset = ids[map_anchor[ids] < 0]
+                    map_anchor[unset] = i_k
+            # masked slots observed only by dropped retired keyframes: anchor
+            # to the chain origin (stays frozen in windowed BA, transported
+            # rigidly with the established chain by loop corrections)
+            map_anchor[map_mask & (map_anchor < 0)] = 0
         return _result(track_loop(n0, traj[n0 - 1].copy()))
 
     # ---------------- bootstrap ----------------

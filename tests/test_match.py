@@ -207,10 +207,11 @@ def test_auto_streaming_policy_matches_dense():
 
 
 def test_int8_path_matches_f32_path():
-    """uint8 descriptors ride the integer-MXU path (exact int32 dots +
-    rank-1 recenter correction, VERDICT r3 task 1); the same data cast to
-    f32 rides the old Precision.HIGHEST path.  Selection must be identical
-    and the winner distances must agree to f32 rounding of the epilogue."""
+    """uint8 descriptors ride the exact-bf16 MXU path (one bf16 dot with
+    f32 accumulation IS the integer dot — see frontend/match._u8_parts;
+    VERDICT r3 task 1); the same data cast to f32 rides the old
+    Precision.HIGHEST path.  Selection must be identical and the winner
+    distances must agree to f32 rounding of the epilogue."""
     rng = np.random.default_rng(42)
     for n0, n1, seed in ((200, 333, 0), (64, 64, 1), (511, 130, 2)):
         d0 = _rand_desc(n0, 100 + seed)
