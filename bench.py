@@ -73,12 +73,18 @@ def main() -> None:
     def extract():
         return extract_features_jit(images, cfg)
 
-    def match_pairs(feats):
-        # all B-1 consecutive pairs in ONE dispatch (vmapped matcher)
-        return match_descriptors_batch(
-            feats.desc[:-1], feats.desc[1:],
-            feats.mask[:-1], feats.mask[1:], mcfg,
+    # all B-1 consecutive pairs in ONE dispatch (vmapped matcher).  The
+    # consecutive-pair slicing lives INSIDE the jit: eager `desc[:-1]`
+    # slices were 4 extra tunnel dispatches per iteration and dominated the
+    # match phase (reps 2.7-7.2 ms for a 0.7 ms program)
+    _match_sliced = jax.jit(
+        lambda desc, mask: match_descriptors_batch(
+            desc[:-1], desc[1:], mask[:-1], mask[1:], mcfg
         )
+    )
+
+    def match_pairs(feats):
+        return _match_sliced(feats.desc, feats.mask)
 
     # warm-up (compile)
     t0 = time.perf_counter()
@@ -201,7 +207,11 @@ def main() -> None:
 
         r16 = match_descriptors(d0_16, d1_16, cfg=mcfg16)
         _sync(r16.dist)
-        n16 = 6
+        # deep queue: a queue of N carries ~RTT/N per iter of tunnel
+        # round-trip inside the number — at the old n16=6 that was ~4 ms/iter
+        # of pure dispatch overhead attributed to a ~2 ms compute (the r4
+        # 5.45 ms record); 32 matches the 640-section protocol
+        n16 = 32
         reps16 = []
         for _ in range(REPS):
             t0 = time.perf_counter()

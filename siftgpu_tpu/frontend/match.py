@@ -133,18 +133,26 @@ def _finalize(bsim, ssim, best_j, col_best_i, cfg: MatchConfig) -> MatchResult:
         ok &= col_best_i[best_j] == jnp.arange(n0)
     ok &= jnp.isfinite(bsim)
 
-    # compact valid rows into the fixed buffer, preserving row order — via
-    # an argsort on (valid-first, row-order) keys + gathers instead of the
-    # previous `.at[slot].set` scatter.  Measured at 16k/max_match=16k the
-    # two are within noise of each other (~3 ms either way — a full-width
-    # reorder is inherently sort-class work at capacity == N0; production
-    # capacities << N0 make the sort path the cheaper top-k-shaped one),
-    # and the sort avoids TPU scatter, the platform's slowest primitive.
+    # compact valid rows into the fixed buffer, preserving row order, on
+    # (valid-first, row-order) keys — never a scatter (TPU scatter is the
+    # platform's slowest primitive).  With max_match < N0 (every production
+    # config: capacities << N0) lax.top_k on the negated key selects the
+    # first max_match valid rows directly — top_k(k << n) is the cheaper
+    # shape than a full argsort (VERDICT r4 task 1a).  At capacity == N0 a
+    # full-width reorder is inherently sort-class work, so argsort stays.
     rows = jnp.arange(n0, dtype=jnp.int32)
     key = jnp.where(ok, rows, n0 + rows)            # valid first, row order
-    perm = jnp.argsort(key)
     m = cfg.max_match
-    perm_m = perm[:m] if n0 >= m else jnp.pad(perm, (0, m - n0))
+    if m < n0:
+        # largest m of -key == smallest m keys, descending -key order ==
+        # ascending key order (exactly argsort(key)[:m]); invalid rows
+        # carry key = n0 + row — strip the offset so the (masked-out)
+        # tail slots still gather in range
+        negv, _ = jax.lax.top_k(-key, m)
+        perm_m = jnp.where(-negv < n0, -negv, -negv - n0)
+    else:
+        perm = jnp.argsort(key)
+        perm_m = perm[:m] if n0 >= m else jnp.pad(perm, (0, m - n0))
     count = jnp.minimum(ok.sum(), m).astype(jnp.int32)
     valid_slot = jnp.arange(m) < count
     pr = jnp.stack(

@@ -49,15 +49,20 @@ _BIG = 2**30
 _NEG = float("-inf")
 
 
-def _kernel(d0_ref, d1t_ref, rn0_ref, rn1_ref, m0_ref, m1_ref,
+def _kernel(d0_ref, d1_ref, rn0_ref, rn1_ref, m0_ref, m1_ref,
             bs_ref, ss_ref, bj_ref, ci_ref,
             rbest_s, rsec_s, rj_s, cval_s, cidx_s, *, ni, nj):
     i = pl.program_id(0)
     j = pl.program_id(1)
     TM, TN = rbest_s.shape[0], cval_s.shape[2]
 
-    dot = jnp.dot(d0_ref[...], d1t_ref[...],
-                  preferred_element_type=jnp.float32)        # [TM, TN]
+    # rhs-transposed contraction: d1 tiles arrive [TN, 128] (natural
+    # descriptor layout) and the MXU contracts both lane dims — no XLA
+    # [N1, 128] -> [128, N1] transpose prologue (a full relayout that cost
+    # ~0.25 ms of the 16k program; 2.28 -> 2.02 ms end-to-end measured)
+    dot = jax.lax.dot_general(
+        d0_ref[...], d1_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)                  # [TM, TN]
     # same rounding order as the XLA mirror: (dot * rn1) * rn0
     sim = (dot * rn1_ref[...]) * rn0_ref[...]
     valid = (m0_ref[...] > 0) & (m1_ref[...] > 0)            # [TM,1]&[1,TN]
@@ -121,7 +126,7 @@ def _match_best2_impl(d0, d1, rn0, rn1, m0, m1, *, interpret, tm=_TM, tn=_TN):
     p0 = (-n0) % _TM
     p1 = (-n1) % _TN
     d0b = jnp.pad(d0, ((0, p0), (0, 0))).astype(jnp.bfloat16)
-    d1t = jnp.pad(d1, ((0, p1), (0, 0))).astype(jnp.bfloat16).T  # [128, N1p]
+    d1b = jnp.pad(d1, ((0, p1), (0, 0))).astype(jnp.bfloat16)   # [N1p, 128]
     rn0c = jnp.pad(rn0, (0, p0)).reshape(-1, 1)                  # [N0p, 1]
     m0c = jnp.pad(m0.astype(jnp.float32), (0, p0)).reshape(-1, 1)
     rn1r = jnp.pad(rn1, (0, p1)).reshape(1, -1)                  # [1, N1p]
@@ -135,7 +140,7 @@ def _match_best2_impl(d0, d1, rn0, rn1, m0, m1, *, interpret, tm=_TM, tn=_TN):
         grid=(ni, nj),
         in_specs=[
             pl.BlockSpec((_TM, 128), lambda i, j: (i, 0)),
-            pl.BlockSpec((128, _TN), lambda i, j: (0, j)),
+            pl.BlockSpec((_TN, 128), lambda i, j: (j, 0)),
             pl.BlockSpec((_TM, 1), lambda i, j: (i, 0)),
             pl.BlockSpec((1, _TN), lambda i, j: (0, j)),
             pl.BlockSpec((_TM, 1), lambda i, j: (i, 0)),
@@ -164,7 +169,7 @@ def _match_best2_impl(d0, d1, rn0, rn1, m0, m1, *, interpret, tm=_TM, tn=_TN):
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=interpret,
-    )(d0b, d1t, rn0c, rn1r, m0c, m1r)
+    )(d0b, d1b, rn0c, rn1r, m0c, m1r)
     return bs[:n0, 0], ss[:n0, 0], bj[:n0, 0], ci[0, :n1]
 
 
