@@ -324,30 +324,100 @@ def match_descriptors_batch(
     )(d0, d1, mask0, mask1)
 
 
-def _homography_gate(loc0, loc1, H, hdist_max):
-    """Squared reprojection gate |H x0 - x1|^2 < hdist_max^2. -> [N0, N1] bool."""
-    ones = jnp.ones((loc0.shape[0], 1), loc0.dtype)
+def _h_parts(loc0, H):
+    """Per-row homography operands: loc0 projected through H -> (px, py).
+
+    The O(N0 x N1) gate then decomposes into rank-1 broadcasts — the form
+    the fused kernel consumes (`ops/match_kernel.py` guided variant)."""
+    loc0 = loc0.astype(jnp.float32)
+    ones = jnp.ones((loc0.shape[0], 1), jnp.float32)
     p = jnp.concatenate([loc0, ones], axis=1) @ H.T
     z = p[:, 2:]
     p = p[:, :2] / jnp.maximum(jnp.abs(z), 1e-12) * jnp.sign(z)
-    d2 = ((p[:, None, :] - loc1[None, :, :]) ** 2).sum(-1)
-    return d2 < hdist_max * hdist_max
+    return p[:, 0], p[:, 1]
+
+
+def _f_parts_rows(loc0, F):
+    """Per-row epipolar operands: loc0's NORMALIZED epiline in image 1
+    (la = F x0 / |la_xy|) plus raw loc0 — row side of the symmetric gate."""
+    loc0 = loc0.astype(jnp.float32)
+    ones = jnp.ones((loc0.shape[0], 1), jnp.float32)
+    l1 = jnp.concatenate([loc0, ones], axis=1) @ F.T      # [N0, 3]
+    den = jnp.sqrt(l1[:, 0] ** 2 + l1[:, 1] ** 2)
+    la = l1 / jnp.maximum(den, 1e-12)[:, None]
+    return la[:, 0], la[:, 1], la[:, 2], loc0[:, 0], loc0[:, 1]
+
+
+def _f_parts_cols(loc1, F):
+    """Per-column epipolar operands: loc1's normalized epiline in image 0."""
+    loc1 = loc1.astype(jnp.float32)
+    ones = jnp.ones((loc1.shape[0], 1), jnp.float32)
+    l0 = jnp.concatenate([loc1, ones], axis=1) @ F        # [N1, 3]
+    den = jnp.sqrt(l0[:, 0] ** 2 + l0[:, 1] ** 2)
+    lb = l0 / jnp.maximum(den, 1e-12)[:, None]
+    return lb[:, 0], lb[:, 1], lb[:, 2]
+
+
+def _homography_gate(loc0, loc1, H, hdist_max):
+    """Squared reprojection gate |H x0 - x1|^2 < hdist_max^2. -> [N0, N1] bool.
+
+    Built from `_h_parts` with the same elementary-op order as the fused
+    kernel (bit-parity contract for the guided selection)."""
+    px, py = _h_parts(loc0, H)
+    loc1 = loc1.astype(jnp.float32)
+    dx = px[:, None] - loc1[None, :, 0]
+    dy = py[:, None] - loc1[None, :, 1]
+    return dx * dx + dy * dy < hdist_max * hdist_max
 
 
 def _epipolar_gate(loc0, loc1, F, fdist_max):
-    """Symmetric epipolar-distance gate via F. -> [N0, N1] bool."""
-    ones0 = jnp.ones((loc0.shape[0], 1), loc0.dtype)
-    ones1 = jnp.ones((loc1.shape[0], 1), loc1.dtype)
-    x0 = jnp.concatenate([loc0, ones0], axis=1)
-    x1 = jnp.concatenate([loc1, ones1], axis=1)
-    l1 = x0 @ F.T                                   # [N0, 3] epiline in image1
-    num = jnp.abs(l1 @ x1.T)                        # [N0, N1]
-    den_a = jnp.sqrt(l1[:, 0] ** 2 + l1[:, 1] ** 2)[:, None]
-    d_a = num / jnp.maximum(den_a, 1e-12)
-    l0 = x1 @ F                                     # [N1, 3] epiline in image0
-    den_b = jnp.sqrt(l0[:, 0] ** 2 + l0[:, 1] ** 2)[None, :]
-    d_b = num / jnp.maximum(den_b, 1e-12)
+    """Symmetric epipolar-distance gate via F. -> [N0, N1] bool.
+
+    max(|la . x1|, |x0 . lb|) with PRE-normalized lines (`_f_parts_*`) —
+    algebraically the classic num/den form, restructured so every pairwise
+    term is a rank-1 broadcast (the fused kernel computes the identical
+    expression per tile)."""
+    la_x, la_y, la_z, x0x, x0y = _f_parts_rows(loc0, F)
+    lb_x, lb_y, lb_z = _f_parts_cols(loc1, F)
+    loc1 = loc1.astype(jnp.float32)
+    x1, y1 = loc1[:, 0], loc1[:, 1]
+    d_a = jnp.abs(la_x[:, None] * x1[None, :]
+                  + la_y[:, None] * y1[None, :] + la_z[:, None])
+    d_b = jnp.abs(x0x[:, None] * lb_x[None, :]
+                  + x0y[:, None] * lb_y[None, :] + lb_z[None, :])
     return jnp.maximum(d_a, d_b) < fdist_max
+
+
+def _fused_guided(d0, d1, loc0, loc1, H, F, mask0, mask1,
+                  hdist_max, fdist_max, cfg: MatchConfig) -> MatchResult:
+    """Guided matching through the fused Pallas kernel: the H/F gates are
+    computed per tile in VMEM from O(N) projected operands and folded into
+    the validity mask before the best-2 reduction — neither the [N0, N1]
+    similarity NOR the gate matrices ever reach HBM (the
+    `MultiplyDescriptorG` fusion, SURVEY.md §2.4 item 8 ⚠)."""
+    from ..ops.match_kernel import match_best2
+
+    _, rn0 = _u8_parts(d0)
+    _, rn1 = _u8_parts(d1)
+    loc0 = jnp.asarray(loc0, jnp.float32)
+    loc1 = jnp.asarray(loc1, jnp.float32)
+    gate = ""
+    rows, cols = [], []
+    if H is not None:
+        gate += "h"
+        rows += list(_h_parts(loc0, jnp.asarray(H, jnp.float32)))
+    if F is not None:
+        gate += "f"
+        rows += list(_f_parts_rows(loc0, jnp.asarray(F, jnp.float32)))
+    cols += [loc1[:, 0], loc1[:, 1]]
+    if F is not None:
+        cols += list(_f_parts_cols(loc1, jnp.asarray(F, jnp.float32)))
+    bs, ss, bj, ci = match_best2(
+        d0, d1, rn0, rn1, mask0, mask1,
+        gate=gate, gate_rows=rows, gate_cols=cols,
+        h2=float(hdist_max) * float(hdist_max), fthr=float(fdist_max),
+    )
+    return _finalize(bs, ss, bj, ci if cfg.mutual_best else None, cfg)
 
 
 @partial(jax.jit, static_argnums=(8, 9, 10))
@@ -366,6 +436,12 @@ def guided_match_descriptors(
         mask0 = jnp.ones(d0.shape[0], bool)
     if mask1 is None:
         mask1 = jnp.ones(d1.shape[0], bool)
+    if (_is_u8(d0, d1) and cfg.use_pallas and (H is not None or F is not None)
+            and jax.default_backend() != "cpu"):
+        # gating fused into the match kernel itself (MultiplyDescriptorG):
+        # O(N0 + N1) HBM regardless of size, same as the plain fused path
+        return _fused_guided(d0, d1, loc0, loc1, H, F, mask0, mask1,
+                             hdist_max, fdist_max, cfg)
     bs = _effective_block(cfg, d1.shape[0])
     if bs:
         Hj = None if H is None else jnp.asarray(H, jnp.float32)

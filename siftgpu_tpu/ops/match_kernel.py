@@ -24,6 +24,17 @@ Row accumulators reset at j == 0 and flush to [N0, 1] outputs at j == nj-1;
 column accumulators live in a [nj, 1, TN] scratch merged across row tiles
 (dynamic indexing on the major dim only — Mosaic allows no dynamic lane
 offsets) and flush per visit, so the final (i == ni-1) flush wins.
+
+GUIDED variant (`ProgramCU::MultiplyDescriptorG`, SURVEY.md §2.4 item 8 ⚠
+"same kernel with H/F distance gating fused in"): optional per-row /
+per-column gate operands — the homography-projected keypoint (px, py) and
+the normalized epipolar-line coefficients — let each tile compute its
+reprojection / symmetric-epipolar gate in VMEM and fold it into the
+validity mask BEFORE the reduction, so the guided matcher keeps the
+O(N0 + N1) HBM property (the [N0, N1] gate matrices never materialize).
+All pairwise gate terms are rank-1 (row ⊗ col broadcasts): the O(N0 x N1)
+part of both gates decomposes exactly, which is what makes the fusion
+free — only O(N) projected coordinates enter the kernel.
 """
 
 from __future__ import annotations
@@ -49,9 +60,11 @@ _BIG = 2**30
 _NEG = float("-inf")
 
 
-def _kernel(d0_ref, d1_ref, rn0_ref, rn1_ref, m0_ref, m1_ref,
-            bs_ref, ss_ref, bj_ref, ci_ref,
-            rbest_s, rsec_s, rj_s, cval_s, cidx_s, *, ni, nj):
+def _kernel(*refs, ni, nj, gate, h2, fthr, ng):
+    (d0_ref, d1_ref, rn0_ref, rn1_ref, m0_ref, m1_ref) = refs[:6]
+    grefs = refs[6:6 + ng]
+    bs_ref, ss_ref, bj_ref, ci_ref = refs[6 + ng:10 + ng]
+    rbest_s, rsec_s, rj_s, cval_s, cidx_s = refs[10 + ng:]
     i = pl.program_id(0)
     j = pl.program_id(1)
     TM, TN = rbest_s.shape[0], cval_s.shape[2]
@@ -66,6 +79,32 @@ def _kernel(d0_ref, d1_ref, rn0_ref, rn1_ref, m0_ref, m1_ref,
     # same rounding order as the XLA mirror: (dot * rn1) * rn0
     sim = (dot * rn1_ref[...]) * rn0_ref[...]
     valid = (m0_ref[...] > 0) & (m1_ref[...] > 0)            # [TM,1]&[1,TN]
+    if gate:
+        # operand layout (see match_best2): H rows [px, py], F rows
+        # [lax, lay, laz, x0x, x0y], then cols [x1, y1] (+ F cols
+        # [lbx, lby, lbz]).  Same elementary-op order as the XLA mirror
+        # gates (frontend/match._homography_gate/_epipolar_gate).
+        k = 0
+        if "h" in gate:
+            px, py = grefs[k][...], grefs[k + 1][...]
+            k += 2
+        if "f" in gate:
+            la_x, la_y, la_z = (grefs[k][...], grefs[k + 1][...],
+                                grefs[k + 2][...])
+            x0x, x0y = grefs[k + 3][...], grefs[k + 4][...]
+            k += 5
+        gx1, gy1 = grefs[k][...], grefs[k + 1][...]
+        k += 2
+        if "h" in gate:
+            dx = px - gx1
+            dy = py - gy1
+            valid &= dx * dx + dy * dy < h2
+        if "f" in gate:
+            lb_x, lb_y, lb_z = (grefs[k][...], grefs[k + 1][...],
+                                grefs[k + 2][...])
+            da = jnp.abs(la_x * gx1 + la_y * gy1 + la_z)
+            db = jnp.abs(x0x * lb_x + x0y * lb_y + lb_z)
+            valid &= jnp.maximum(da, db) < fthr
     sim = jnp.where(valid, sim, _NEG)
 
     # ---- row side: best-2 + argbest within the tile, merged across j ----
@@ -119,8 +158,12 @@ def _kernel(d0_ref, d1_ref, rn0_ref, rn1_ref, m0_ref, m1_ref,
     ci_ref[...] = cidx_s[j]
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "tm", "tn"))
-def _match_best2_impl(d0, d1, rn0, rn1, m0, m1, *, interpret, tm=_TM, tn=_TN):
+@functools.partial(
+    jax.jit, static_argnames=("interpret", "tm", "tn", "gate", "h2", "fthr")
+)
+def _match_best2_impl(d0, d1, rn0, rn1, m0, m1, gate_rows=(), gate_cols=(),
+                      *, gate="", h2=0.0, fthr=0.0, interpret, tm=_TM,
+                      tn=_TN):
     _TM, _TN = tm, tn
     n0, n1 = d0.shape[0], d1.shape[0]
     p0 = (-n0) % _TM
@@ -134,7 +177,18 @@ def _match_best2_impl(d0, d1, rn0, rn1, m0, m1, *, interpret, tm=_TM, tn=_TN):
     n0p, n1p = n0 + p0, n1 + p1
     ni, nj = n0p // _TM, n1p // _TN
 
-    kern = functools.partial(_kernel, ni=ni, nj=nj)
+    grow = [jnp.pad(g.astype(jnp.float32), (0, p0)).reshape(-1, 1)
+            for g in gate_rows]
+    gcol = [jnp.pad(g.astype(jnp.float32), (0, p1)).reshape(1, -1)
+            for g in gate_cols]
+    gate_ops = grow + gcol
+    gate_specs = (
+        [pl.BlockSpec((_TM, 1), lambda i, j: (i, 0)) for _ in grow]
+        + [pl.BlockSpec((1, _TN), lambda i, j: (0, j)) for _ in gcol]
+    )
+
+    kern = functools.partial(_kernel, ni=ni, nj=nj, gate=gate, h2=h2,
+                             fthr=fthr, ng=len(gate_ops))
     bs, ss, bj, ci = pl.pallas_call(
         kern,
         grid=(ni, nj),
@@ -145,7 +199,7 @@ def _match_best2_impl(d0, d1, rn0, rn1, m0, m1, *, interpret, tm=_TM, tn=_TN):
             pl.BlockSpec((1, _TN), lambda i, j: (0, j)),
             pl.BlockSpec((_TM, 1), lambda i, j: (i, 0)),
             pl.BlockSpec((1, _TN), lambda i, j: (0, j)),
-        ],
+        ] + gate_specs,
         out_specs=[
             pl.BlockSpec((_TM, 1), lambda i, j: (i, 0)),
             pl.BlockSpec((_TM, 1), lambda i, j: (i, 0)),
@@ -169,19 +223,34 @@ def _match_best2_impl(d0, d1, rn0, rn1, m0, m1, *, interpret, tm=_TM, tn=_TN):
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=interpret,
-    )(d0b, d1b, rn0c, rn1r, m0c, m1r)
+    )(d0b, d1b, rn0c, rn1r, m0c, m1r, *gate_ops)
     return bs[:n0, 0], ss[:n0, 0], bj[:n0, 0], ci[0, :n1]
 
 
-def match_best2(d0, d1, rn0, rn1, m0, m1, *, interpret: bool = False,
+def match_best2(d0, d1, rn0, rn1, m0, m1, *, gate: str = "",
+                gate_rows=(), gate_cols=(), h2: float = 0.0,
+                fthr: float = 0.0, interpret: bool = False,
                 tm: int = _TM, tn: int = _TN):
     """Fused best-2 match reduction on uint8 descriptors.
 
     d0: [N0, 128] uint8, d1: [N1, 128] uint8, rn0/rn1: [N] f32 reciprocal
     L2 norms, m0/m1: [N] bool validity masks.  Returns
-    (bsim [N0], ssim [N0], best_j [N0] i32, col_best_i [N1] i32) — the
+    (bsim [N0], ssim [N0], bestj [N0] i32, col_best_i [N1] i32) — the
     per-row best/second similarities + argbest and the per-column best row,
     exactly as the dense XLA selection computes them (masked = -inf).
+
+    Guided gating (`gate` in {"h", "f", "hf"}): `gate_rows` / `gate_cols`
+    carry per-keypoint [N] f32 operands in this order —
+      rows: H -> [px, py] (H-projected loc0, frontend/match._h_parts);
+            F -> [la_x, la_y, la_z, x0x, x0y] (normalized epiline in
+            image 1 + raw loc0, frontend/match._f_parts_rows);
+      cols: [x1, y1] always, then F -> [lb_x, lb_y, lb_z]
+            (frontend/match._f_parts_cols).
+    `h2` = hdist_max^2 (squared-reprojection threshold), `fthr` =
+    fdist_max (symmetric epipolar distance).  Pairs failing a gate are
+    masked to -inf before the reduction, identically to the XLA mirror.
     """
-    return _match_best2_impl(d0, d1, rn0, rn1, m0, m1, interpret=interpret,
-                             tm=tm, tn=tn)
+    return _match_best2_impl(d0, d1, rn0, rn1, m0, m1,
+                             tuple(gate_rows), tuple(gate_cols),
+                             gate=gate, h2=h2, fthr=fthr,
+                             interpret=interpret, tm=tm, tn=tn)

@@ -204,3 +204,73 @@ def test_match_kernel_matches_xla_selection():
         np.testing.assert_array_equal(np.asarray(ci), np.asarray(rc))
         # second-best: masked rows are -inf in both
         np.testing.assert_array_equal(np.asarray(ss), np.asarray(rs))
+
+
+def test_match_kernel_guided_matches_xla_gates():
+    """Guided fused kernel (H/F gating computed per tile in VMEM,
+    VERDICT r4 task 5) vs the dense XLA guided path: identical selection
+    for H-only, F-only, and H+F gating — including cross-tile winners
+    (small tm/tn force multi-tile grids) and rows fully gated out."""
+    from siftgpu_tpu.frontend import match as M
+    from siftgpu_tpu.ops.match_kernel import match_best2
+
+    rng = np.random.default_rng(11)
+    n0, n1 = 300, 900
+    d0 = rng.integers(0, 256, (n0, 128), dtype=np.uint8)
+    # first n0 of d1 = noisy copies of d0 rows (real correspondences)
+    d1 = np.concatenate([
+        np.clip(d0.astype(int) + rng.integers(-6, 7, (n0, 128)),
+                0, 255).astype(np.uint8),
+        rng.integers(0, 256, (n1 - n0, 128), dtype=np.uint8),
+    ])
+    loc0 = rng.uniform(0, 640, (n0, 2)).astype(np.float32)
+    # loc1: first n0 follow a translation of loc0 (inliers), rest random
+    t = np.array([12.0, -7.0], np.float32)
+    loc1 = np.concatenate([
+        loc0 + t, rng.uniform(0, 640, (n1 - n0, 2)),
+    ]).astype(np.float32)
+    H = np.array([[1, 0, t[0]], [0, 1, t[1]], [0, 0, 1]], np.float32)
+    # rank-2 F from a random epipole cross matrix
+    e = rng.uniform(-1, 1, 3)
+    Ex = np.array([[0, -e[2], e[1]], [e[2], 0, -e[0]], [-e[1], e[0], 0]])
+    F = (Ex @ rng.uniform(-1, 1, (3, 3))).astype(np.float32) * 1e-3
+    m0 = rng.random(n0) > 0.05
+    m1 = rng.random(n1) > 0.05
+    d0j, d1j = jnp.asarray(d0), jnp.asarray(d1)
+    m0j, m1j = jnp.asarray(m0), jnp.asarray(m1)
+    l0j, l1j = jnp.asarray(loc0), jnp.asarray(loc1)
+    cfg = M.MatchConfig(max_match=512, block_size=-1, use_pallas=False)
+
+    p0 = M._u8_parts(d0j)
+    p1 = M._u8_parts(d1j)
+
+    for Hj, Fj, gate in (
+        (jnp.asarray(H), None, "h"),
+        (None, jnp.asarray(F), "f"),
+        (jnp.asarray(H), jnp.asarray(F), "hf"),
+    ):
+        ref = M.guided_match_descriptors(
+            d0j, d1j, l0j, l1j, H=Hj, F=Fj, mask0=m0j, mask1=m1j,
+            hdist_max=24.0, fdist_max=8.0, cfg=cfg,
+        )
+        rows, cols = [], []
+        if Hj is not None:
+            rows += list(M._h_parts(l0j, Hj))
+        if Fj is not None:
+            rows += list(M._f_parts_rows(l0j, Fj))
+        cols += [l1j[:, 0], l1j[:, 1]]
+        if Fj is not None:
+            cols += list(M._f_parts_cols(l1j, Fj))
+        bs, ss, bj, ci = match_best2(
+            d0j, d1j, p0[1], p1[1], m0j, m1j,
+            gate=gate, gate_rows=rows, gate_cols=cols,
+            h2=24.0 * 24.0, fthr=8.0, interpret=True, tm=128, tn=256,
+        )
+        got = M._finalize(bs, ss, bj, ci, cfg)
+        assert int(got.count) == int(ref.count), gate
+        np.testing.assert_array_equal(
+            np.asarray(got.pairs), np.asarray(ref.pairs), err_msg=gate)
+        np.testing.assert_allclose(
+            np.asarray(got.dist), np.asarray(ref.dist), atol=1e-6)
+        if gate == "h":   # the H-inlier structure must actually match
+            assert int(ref.count) > 100
