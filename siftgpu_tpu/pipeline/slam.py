@@ -92,6 +92,24 @@ class SlamConfig:
     # bootstrap parallax requirement: below ~10 px the essential matrix is
     # rotation-dominated and the initial map is unusable
     init_flow_px: float = 10.0
+    # --- tracking-loss state + relocalization (VERDICT r4 task 3) ---
+    # Below `lost_min_inliers` PnP inliers tracking has FAILED (occlusion,
+    # blur, blackout) rather than "the scene moved": the tracker enters a
+    # LOST state that freezes the pose and the velocity model and — the
+    # critical fix — inserts NO keyframes and triangulates NOTHING (the r4
+    # trigger `n_inl < kf_min_inliers` conflated the two, so a failure
+    # *satisfied* the keyframe condition and garbage-pose keyframes
+    # permanently poisoned the map).  Recovery is automatic when live-KF
+    # matching yields a confident PnP again; `relocalize` additionally
+    # re-registers against the ARCHIVED keyframe database (one batched
+    # match + PnP seeded from the matched keyframe's pose), which handles
+    # the camera re-emerging over a region the live keyframes don't see.
+    # `track_lost=False` restores the legacy conflated trigger.
+    track_lost: bool = True
+    lost_min_inliers: int = 10
+    relocalize: bool = True
+    reloc_min_matches: int = 20    # descriptor matches to try a candidate
+    reloc_min_inliers: int = 10    # PnP inliers to accept re-registration
     # --- loop closure (SURVEY §7.2 step 9) --- detect revisits by matching
     # each new keyframe against the archived descriptors of RETIRED keyframes
     # (one batched dispatch), verify with PnP against the old map region, and
@@ -678,32 +696,27 @@ def run_slam(frames, intr, cfg, mcfg, scfg: SlamConfig,
             detect_loop(kf)
         return kf
 
-    def detect_loop(kf: Keyframe):
-        """Revisit detection for the just-inserted keyframe (SURVEY §7.2
-        step 9): one batched match dispatch against every archived keyframe,
-        PnP of the best candidate's MAP points against the new keyframe's
-        observations, and a measured relative-pose loop edge on success.
-        The PnP runs in the old region's (pre-drift) frame, so the edge
-        carries exactly the information windowed BA lost."""
-        n_new = len(keyframes) - 1
+    def _archive_match(cur_desc, cur_mask):
+        """ONE batched match dispatch of the given descriptors against ALL
+        archived (retired) keyframes through the device-resident cache.
+        Shared by loop detection and relocalization (the latter is the
+        same machinery with different eligibility/verification, VERDICT r4
+        task 3).  Returns (cand, pairs_np, counts_np) or None."""
         cand = sorted(
             i for i, k in enumerate(keyframes)
             if k.kp.get("desc_host") is not None
-            and n_new - i >= scfg.loop_kf_gap
-            and kf.frame_idx - k.frame_idx >= scfg.loop_min_frame_gap
         )
         if not cand:
-            return
+            return None
         d0 = keyframes[cand[0]].kp["desc_host"]
         C = 1
         while C < len(cand):
             C *= 2  # capacity bucket: stable shapes -> few recompiles
         # device-resident archive cache: entries are immutable, and the
-        # candidate list only ever APPENDS (the gap thresholds relax
-        # monotonically as the run advances) — so re-upload only the new
-        # rows, and the full host->device transfer only on capacity growth
-        # (ADVICE r3 #3: the rebuild-every-insertion upload grew with the
-        # archive on long runs)
+        # candidate list only ever APPENDS (keyframes retire in order) —
+        # so re-upload only the new rows, and the full host->device
+        # transfer only on capacity growth (ADVICE r3 #3: the
+        # rebuild-every-insertion upload grew with the archive)
         if (C != arch_cache["C"]
                 or tuple(cand[: len(arch_cache["cand"])]) != arch_cache["cand"]):
             arch_d = np.zeros((C,) + d0.shape, d0.dtype)
@@ -723,12 +736,35 @@ def run_slam(frames, intr, cfg, mcfg, scfg: SlamConfig,
                     jnp.asarray(np.asarray(keyframes[i].kp["mask"])))
         arch_cache.update(cand=tuple(cand), C=C, d=d_dev, m=m_dev)
         pairs_d, counts_d = _loop_match_jit(
-            d_dev, m_dev,
-            kf.kp["desc"], jnp.asarray(kf.kp["mask"]), mcfg,
+            d_dev, m_dev, cur_desc, jnp.asarray(cur_mask), mcfg,
         )
         pairs_np, counts_np = jax.device_get((pairs_d, counts_d))
-        counts_np = counts_np[: len(cand)]
-        c = int(np.argmax(counts_np))
+        return cand, pairs_np, counts_np[: len(cand)]
+
+    def detect_loop(kf: Keyframe):
+        """Revisit detection for the just-inserted keyframe (SURVEY §7.2
+        step 9): one batched match dispatch against every archived keyframe,
+        PnP of the best candidate's MAP points against the new keyframe's
+        observations, and a measured relative-pose loop edge on success.
+        The PnP runs in the old region's (pre-drift) frame, so the edge
+        carries exactly the information windowed BA lost."""
+        n_new = len(keyframes) - 1
+        am = _archive_match(kf.kp["desc"], kf.kp["mask"])
+        if am is None:
+            return
+        cand, pairs_np, counts_np = am
+        # eligibility gates (temporal separation) applied AFTER the match:
+        # candidates are matched independently, so the best eligible pick
+        # is identical to the pre-filtered form — and the archive cache is
+        # shared with the relocalizer, which has no gates
+        elig = [
+            s for s, i in enumerate(cand)
+            if n_new - i >= scfg.loop_kf_gap
+            and kf.frame_idx - keyframes[i].frame_idx >= scfg.loop_min_frame_gap
+        ]
+        if not elig:
+            return
+        c = max(elig, key=lambda s: counts_np[s])
         if counts_np[c] < scfg.loop_min_matches:
             return
         old = keyframes[cand[c]]
@@ -907,6 +943,50 @@ def run_slam(frames, intr, cfg, mcfg, scfg: SlamConfig,
                 metrics.event("loop_correction", kf_j=n_new,
                               n_kf=len(keyframes))
 
+    def relocalize(kpt):
+        """Re-register a LOST frame against the archived keyframe database
+        (VERDICT r4 task 3: the detect_loop machinery refactored into a
+        relocalizer): one batched archive match, then PnP of the best
+        candidates' map points SEEDED FROM THE CANDIDATE KEYFRAME'S POSE —
+        robust to arbitrary displacement from the pre-loss pose, which the
+        live-KF tracking path (seeded from the stale last pose) is not.
+        Returns (pose, keyframe, inliers) or None."""
+        am = _archive_match(kpt["desc"], kpt["mask"])
+        if am is None:
+            return None
+        cand, pairs_np, counts_np = am
+        for c in np.argsort(counts_np)[::-1][:3]:
+            if counts_np[c] < scfg.reloc_min_matches:
+                break
+            old = keyframes[cand[c]]
+            pr = pairs_np[c][: counts_np[c]]
+            has3d = old.pt_ids[pr[:, 0]] >= 0
+            p3 = pr[has3d]
+            if len(p3) < scfg.reloc_min_inliers:
+                continue
+            slots = old.pt_ids[p3[:, 0]]
+            uv = np.stack([kpt["x"][p3[:, 1]], kpt["y"][p3[:, 1]]], 1)
+            res = pnp.pnp_gn(
+                jnp.asarray(map_X[slots]), jnp.asarray(uv, jnp.float32),
+                jnp.ones(len(slots), jnp.float32), intr_j,
+                jnp.asarray(old.pose), iters=max(scfg.pnp_iters, 10),
+                huber_px=scfg.huber_px, inlier_px=scfg.inlier_px,
+            )
+            n_inl = int(res.num_inliers)
+            # absolute floor AND majority gate, as for loop edges: a pose
+            # explaining a minority of its 3D matches is a mis-registration
+            if n_inl >= scfg.reloc_min_inliers and n_inl >= 0.5 * len(p3):
+                return np.asarray(res.pose, np.float32), old, n_inl
+        return None
+
+    def _live_desc(k):
+        return (k.feats.desc[0] if k.feats is not None
+                else jnp.asarray(k.kp["desc_host"]))
+
+    def _live_mask(k):
+        return (k.feats.mask[0] if k.feats is not None
+                else jnp.asarray(np.asarray(k.kp["mask"])))
+
     def track_loop(t0: int, last_pose: np.ndarray) -> int:
         """PnP tracking from frame t0 (constant-velocity twist model).
 
@@ -928,17 +1008,23 @@ def run_slam(frames, intr, cfg, mcfg, scfg: SlamConfig,
         # stores (frame, (feats, pairs, counts)); pre-extracted path stores
         # (frame, feats, (pairs, counts))
         pending = None
-        kf_stack = None  # (n_keyframes, d_kf, m_kf) — rebuilt on insertion
+        kf_stack = None  # (token, d_kf, m_kf) — rebuilt on live-set change
+        reloc_pair = None  # [archived KF, last KF] after archive reloc
+        lost = False
         while t < T:
-            kf = keyframes[-1]
-            # recomputed unconditionally (cheap) so the pairs2-widening step
-            # below never depends on the kf_stack rebuild having fired
-            live = keyframes[-2:][::-1]       # [-1] first, then [-2]
-            if kf_stack is None or kf_stack[0] != len(keyframes):
+            # live matching set: normally the last two keyframes; after an
+            # archive relocalization the matched (possibly retired) keyframe
+            # takes the primary slot until the next insertion, so tracking
+            # continues against geometry that actually sees the current view
+            live = (reloc_pair if reloc_pair is not None
+                    else keyframes[-2:][::-1])   # [-1] first, then [-2]
+            kf = live[0]
+            token = (len(keyframes), id(kf))
+            if kf_stack is None or kf_stack[0] != token:
                 kf_stack = (
-                    len(keyframes),
-                    jnp.stack([k.feats.desc[0] for k in live]),
-                    jnp.stack([k.feats.mask[0] for k in live]),
+                    token,
+                    jnp.stack([_live_desc(k) for k in live]),
+                    jnp.stack([_live_mask(k) for k in live]),
                 )
             _, d_kf, m_kf = kf_stack
             if features is None:
@@ -992,7 +1078,7 @@ def run_slam(frames, intr, cfg, mcfg, scfg: SlamConfig,
             # widen the 2D-3D set with the previous keyframe's map points
             # (keyframe churn otherwise starves PnP right after insertion)
             if len(live) >= 2:
-                kf2 = keyframes[-2]
+                kf2 = live[1]
                 pairs2 = pairs_np[1][: counts_np[1]]
                 if len(pairs2):
                     hm2 = kf2.pt_ids[pairs2[:, 0]] >= 0
@@ -1016,7 +1102,70 @@ def run_slam(frames, intr, cfg, mcfg, scfg: SlamConfig,
                 pose_t = pose_guess
                 n_inl = 0
                 inl = np.zeros(len(slots), bool)
-            vel = 0.5 * vel + 0.5 * (pose_t - last_pose)
+
+            # --- tracking-loss state machine (VERDICT r4 task 3) ---
+            tracking_ok = len(slots) >= 6 and n_inl >= scfg.lost_min_inliers
+            if scfg.track_lost and not tracking_ok:
+                if not lost:
+                    lost = True
+                    # the velocity model is meaningless across a loss —
+                    # coasting on it walks the pose guess off to garbage
+                    vel[:] = 0.0
+                    metrics.event("track_lost", frame=t, inliers=n_inl)
+                rel = relocalize(kpt) if scfg.relocalize else None
+                if rel is None:
+                    # HOLD the last confident pose; insert no keyframe,
+                    # triangulate nothing (the r4 trigger treated this
+                    # failure as "scene moved" and poisoned the map)
+                    traj[t] = last_pose
+                    tracked.append(0)
+                    metrics.event("track", frame=t, inliers=0,
+                                  matches=int(counts_np[0]), map_pts=map_n)
+                    t += 1
+                    continue
+                pose_t, old_kf, n_inl = rel
+                lost = False
+                traj[t] = pose_t
+                last_pose = pose_t
+                tracked.append(n_inl)
+                metrics.event("relocalized", frame=t,
+                              kf=int(old_kf.frame_idx), inliers=n_inl)
+                if old_kf is not keyframes[-1]:
+                    reloc_pair = [old_kf, keyframes[-1]]
+                    pending = None  # speculation matched the stale live set
+                t += 1
+                continue
+            if lost:
+                # recovering from LOST through live-KF matching.  The live
+                # evidence can be thin exactly here (the camera may have
+                # re-emerged far from the last keyframes' view, where a
+                # 20-inlier PnP against a drifted local map mis-registers),
+                # so compare it against the archive relocalizer and
+                # re-register on the STRONGER evidence.
+                rel = relocalize(kpt) if scfg.relocalize else None
+                if rel is not None and rel[2] > n_inl:
+                    pose_t, old_kf, n_inl = rel
+                    lost = False
+                    vel[:] = 0.0
+                    traj[t] = pose_t
+                    last_pose = pose_t
+                    tracked.append(n_inl)
+                    metrics.event("relocalized", frame=t,
+                                  kf=int(old_kf.frame_idx), inliers=n_inl)
+                    if old_kf is not keyframes[-1]:
+                        reloc_pair = [old_kf, keyframes[-1]]
+                        pending = None
+                    # the frame's match/flow state is relative to the OLD
+                    # live set — defer keyframe decisions to the next frame
+                    t += 1
+                    continue
+                metrics.event("track_recovered", frame=t, inliers=n_inl)
+                lost = False
+                # (pose_t - last_pose) spans the whole loss gap — restart
+                # the velocity model instead of absorbing the jump
+                vel[:] = 0.0
+            else:
+                vel = 0.5 * vel + 0.5 * (pose_t - last_pose)
             traj[t] = pose_t
             last_pose = pose_t
             tracked.append(n_inl)
@@ -1043,6 +1192,7 @@ def run_slam(frames, intr, cfg, mcfg, scfg: SlamConfig,
                 add_keyframe(t, ft, kpt, pose_t, mapped_pairs=mapped,
                              prev_kf=kf, tri_pairs=unmapped)
                 pending = None  # speculative t+1 matched stale keyframes
+                reloc_pair = None  # back to the natural last-two live set
                 metrics.event("keyframe", frame=t, n_kf=len(keyframes),
                               map_pts=map_n)
                 windowed_ba()
