@@ -86,7 +86,9 @@ def _bilerp_xla(grads: GradStack, py, px, lvl):
     def bilerp(flat):
         def g(yi, xi):
             idx = (base + yi * Wp + xi).reshape(B, -1)
-            return jnp.take_along_axis(flat, idx, axis=1).reshape(B, C, G, G)
+            # upcast at the gather boundary: bf16 storage, f32 blend math
+            return jnp.take_along_axis(flat, idx, axis=1).reshape(
+                B, C, G, G).astype(jnp.float32)
         return (
             g(y0, x0) * (1 - fy) * (1 - fx)
             + g(y0, x1) * (1 - fy) * fx

@@ -102,8 +102,13 @@ def gradient_stack(
     if ph or pw:
         gx = jnp.pad(gx, ((0, 0), (0, 0), (0, ph), (0, pw)))
         gy = jnp.pad(gy, ((0, 0), (0, 0), (0, ph), (0, pw)))
+    # bf16 storage (same round-to-nearest as the Pallas stencil — the
+    # stencil parity test stays bit-exact): halves the stack's HBM
+    # footprint and the keypoint engine's window-DMA traffic; consumers
+    # upcast to f32 at the gather/window boundary so all accumulation
+    # stays f32
     return GradStack(
-        gx=gx, gy=gy, h=H, w=W,
+        gx=gx.astype(jnp.bfloat16), gy=gy.astype(jnp.bfloat16), h=H, w=W,
         y0=jnp.zeros((), jnp.int32) if y0 is None else y0,
         global_h=H if global_h is None else global_h,
     )
@@ -158,8 +163,10 @@ def compute_orientations(
         return jax.lax.dynamic_slice(g_b, (l1, y1, x1), (1, win, win))[0]
 
     gather = jax.vmap(jax.vmap(slice_one, in_axes=(None, 0, 0, 0)))
-    wx = gather(grads.gx, lvl, sy, sx)                        # [B, K, win, win]
-    wy = gather(grads.gy, lvl, sy, sx)
+    # upcast at the gather boundary: the stack is bf16 storage, all window
+    # math runs f32 (same contract as the fused kernel)
+    wx = gather(grads.gx, lvl, sy, sx).astype(jnp.float32)    # [B, K, win, win]
+    wy = gather(grads.gy, lvl, sy, sx).astype(jnp.float32)
 
     # true offsets of each window pixel from the refined center
     ar = jnp.arange(win, dtype=jnp.float32)

@@ -110,6 +110,9 @@ def sample_gradients(
     P, H, Wimg = gx.shape
     N, G2 = py.shape
 
+    # bf16 window DMA (production stacks are bf16; covers f32 callers too)
+    gx = gx.astype(jnp.bfloat16)
+    gy = gy.astype(jnp.bfloat16)
     # pad planes so aligned window origins always fit: rows to a multiple of
     # 8 (>= WIN_Y), cols to a multiple of 128 (>= WIN_X)
     H2 = max(-(-H // 8) * 8, WIN_Y)
@@ -167,7 +170,7 @@ def sample_gradients(
             jax.ShapeDtypeStruct((Np, G2), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, BLK, WIN_Y, 2 * WIN_X), jnp.float32),
+            pltpu.VMEM((2, BLK, WIN_Y, 2 * WIN_X), jnp.bfloat16),
             pltpu.VMEM((BLK, G2, WIN_Y), jnp.bfloat16),
             pltpu.VMEM((BLK, G2, WIN_X), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 2 * BLK)),

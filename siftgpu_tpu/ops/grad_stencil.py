@@ -93,11 +93,18 @@ def _kernel(
             # one-sided value — x2 restores bit-parity (orient.gradient_stack)
             grow = rows + y0
             gy = gy * jnp.where((grow == 0) | (grow == global_h - 1), 2.0, 1.0)
-        # zero the tile padding so downstream window DMAs read exact zeros
+        # zero the tile padding so downstream window DMAs read exact zeros.
+        # Outputs are bf16 (round-to-nearest-even from the f32 stencil):
+        # gradients feed magnitude/orientation/descriptor accumulation whose
+        # parity bars are tolerance-class, and bf16 halves BOTH this write
+        # AND the keypoint engine's per-window DMA traffic (the engine's
+        # dominant cost — 144 KB/keypoint in f32, VERDICT r4 task 4)
         inimg = (rows <= H - 1) & (cols <= W - 1)
         zero = jnp.zeros_like(v)
-        gx_ref[0, 0, :, pl.ds(c0, cw)] = jnp.where(inimg, gx, zero)
-        gy_ref[0, 0, :, pl.ds(c0, cw)] = jnp.where(inimg, gy, zero)
+        gx_ref[0, 0, :, pl.ds(c0, cw)] = jnp.where(inimg, gx, zero).astype(
+            jnp.bfloat16)
+        gy_ref[0, 0, :, pl.ds(c0, cw)] = jnp.where(inimg, gy, zero).astype(
+            jnp.bfloat16)
 
 
 @functools.partial(
@@ -132,8 +139,8 @@ def _grad_stencil_impl(g, y0, *, global_h, use_y0, min_h, min_w, interpret):
         ],
         out_specs=[out_spec, out_spec],
         out_shape=[
-            jax.ShapeDtypeStruct((B, S, Hp, Wo), jnp.float32),
-            jax.ShapeDtypeStruct((B, S, Hp, Wo), jnp.float32),
+            jax.ShapeDtypeStruct((B, S, Hp, Wo), jnp.bfloat16),
+            jax.ShapeDtypeStruct((B, S, Hp, Wo), jnp.bfloat16),
         ],
         scratch_shapes=[
             pltpu.VMEM((2, TH + 16, Wo + 256), jnp.float32),

@@ -241,8 +241,13 @@ def _kernel(
     def build_narrow(k):
         co = cur_ref[0, 7, k]
         ro = pl.multiple_of(cur_ref[0, 3, k], 8)
-        nwin[k, :, :128] = pltpu.roll(wxy[slot, k, :, :win_x], -co, 1)[:, :128]
-        nwin[k, :, 128:] = pltpu.roll(wxy[slot, k, :, win_x:], -co, 1)[:, :128]
+        # upcast at the roll: the DMA'd windows are bf16 (HBM traffic is
+        # the kernel's dominant cost) but Mosaic's dynamic_rotate only
+        # lowers for 32-bit lanes, and downstream math is f32 anyway
+        nwin[k, :, :128] = pltpu.roll(
+            wxy[slot, k, :, :win_x].astype(jnp.float32), -co, 1)[:, :128]
+        nwin[k, :, 128:] = pltpu.roll(
+            wxy[slot, k, :, win_x:].astype(jnp.float32), -co, 1)[:, :128]
         if pack4:
             # FOUR keypoints share each 128-lane register (32-lane slots,
             # centers 16/48/80/112 for gx and +128 for gy) — quartering the
@@ -299,11 +304,11 @@ def _kernel(
         rad2 = (rad_f * sw) * (rad_f * sw)
 
         if narrow:
-            gxw = nwin[k, pl.ds(ro, ori_span), :128]
-            gyw = nwin[k, pl.ds(ro, ori_span), 128:]
+            gxw = nwin[k, pl.ds(ro, ori_span), :128].astype(jnp.float32)
+            gyw = nwin[k, pl.ds(ro, ori_span), 128:].astype(jnp.float32)
         else:
-            gxw = wxy[slot, k, pl.ds(ro, ori_span), :win_x]
-            gyw = wxy[slot, k, pl.ds(ro, ori_span), win_x:]
+            gxw = wxy[slot, k, pl.ds(ro, ori_span), :win_x].astype(jnp.float32)
+            gyw = wxy[slot, k, pl.ds(ro, ori_span), win_x:].astype(jnp.float32)
         row_abs = rows_o + (wy0 + ro)
         col_abs = cols_o + wx0
         oy = row_abs.astype(jnp.float32) - ky
@@ -366,8 +371,8 @@ def _kernel(
         kx = fv(1)
         sw = sig_f * fv(2)
         rad2 = (rad_f * sw) * (rad_f * sw)
-        gxw = owin[:, :, :128]
-        gyw = owin[:, :, 128:]
+        gxw = owin[:, :, :128].astype(jnp.float32)
+        gyw = owin[:, :, 128:].astype(jnp.float32)
         sh3 = (BLK, ori_span, 128)
         row_abs = jax.lax.broadcasted_iota(jnp.int32, sh3, 1) + wy0
         col_abs = jax.lax.broadcasted_iota(jnp.int32, sh3, 2) + wx0
@@ -429,8 +434,8 @@ def _kernel(
         sh3 = (BLK2, ori_span, 128)
         rows = jax.lax.broadcasted_iota(jnp.int32, sh3, 1)
         cols = jax.lax.broadcasted_iota(jnp.int32, sh3, 2)
-        gxw = owin[:, :, :128]
-        gyw = owin[:, :, 128:]
+        gxw = owin[:, :, :128].astype(jnp.float32)
+        gyw = owin[:, :, 128:].astype(jnp.float32)
         oy = rows.astype(fy) + c_oy
         ox = cols.astype(fy) + c_ox
         r2 = oy * oy + ox * ox
@@ -503,8 +508,8 @@ def _kernel(
         sh3 = (BLK4, ori_span, 128)
         rows = jax.lax.broadcasted_iota(jnp.int32, sh3, 1)
         cols = jax.lax.broadcasted_iota(jnp.int32, sh3, 2)
-        gxw = owin[:, :, :128]
-        gyw = owin[:, :, 128:]
+        gxw = owin[:, :, :128].astype(jnp.float32)
+        gyw = owin[:, :, 128:].astype(jnp.float32)
         oy = rows.astype(fy) + c_oy
         ox = cols.astype(fy) + c_ox
         r2 = oy * oy + ox * ox
@@ -730,6 +735,11 @@ def _orient_sample_impl(
     G2 = G * G
     win_x = 256
 
+    # bf16 gradient planes: halves the dominant per-keypoint window DMA
+    # (144 KB -> 72 KB per kp at the 640 geometry); production stacks are
+    # already bf16 (grad_stencil), the cast covers f32 callers (benches)
+    gx = gx.astype(jnp.bfloat16)
+    gy = gy.astype(jnp.bfloat16)
     H2 = max(-(-H // 8) * 8, win_y)
     W2 = max(-(-Wimg // 128) * 128, win_x)
     if (H2, W2) != (H, Wimg):
@@ -824,7 +834,7 @@ def _orient_sample_impl(
             jax.ShapeDtypeStruct((Np, nori * G2), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, BLK, win_y, 2 * win_x), jnp.float32),
+            pltpu.VMEM((2, BLK, win_y, 2 * win_x), jnp.bfloat16),
             pltpu.VMEM((BLK, 128 if narrow else win_x, G2), jnp.bfloat16),
             pltpu.SemaphoreType.DMA((2, 2 * BLK)),
         ]

@@ -249,7 +249,8 @@ def cmd_dump(argv):
             dn = 0.5 + d[l] * 5.0
             imio.save_pgm(f"{a.outdir}/o{o}_dog{l}.pgm", np.clip(dn, 0, 1))
         gs = orient.gradient_stack(oc.gauss, cfg)
-        mag = np.hypot(np.asarray(gs.gx[0]), np.asarray(gs.gy[0]))
+        mag = np.hypot(np.asarray(gs.gx[0], np.float32),
+                       np.asarray(gs.gy[0], np.float32))
         for l in range(mag.shape[0]):
             imio.save_pgm(f"{a.outdir}/o{o}_gradmag{l}.pgm", np.clip(mag[l] * 4, 0, 1))
     print(f"wrote pyramid stages to {a.outdir}/")
