@@ -116,12 +116,23 @@ def _dense_scores_xla(dog: jax.Array, cfg: SiftConfig, owned_rows):
     is_max = (v > 0) & (v > nmax) & pre
     is_min = (v < 0) & (v < nmin) & pre
 
+    # --- dense subpixel-refinement record (shared `cramer_record`: ONE
+    # expression graph for this mirror and the Pallas kernel, so their
+    # ulp-level agreement cannot drift; its spatial-Hessian terms double
+    # as the edge test's dyy/dxx/dxy) ---
+    from ..ops.detect_scores import cramer_record
+
+    dgp = jnp.pad(dog.astype(jnp.float32), ((0, 0), (0, 0), (1, 1), (1, 1)))
+
+    def q(dl, dy, dx):
+        return dgp[:, 1 + dl : 1 + dl + S, 1 + dy : 1 + dy + H,
+                   1 + dx : 1 + dx + W]
+
+    val, off_l, off_y, off_x, (dyy, dxx, dxy) = cramer_record(
+        q, bool(cfg.subpixel)
+    )
+
     # --- dense Hessian edge test on the DoG slice ---
-    xp = jnp.pad(v, ((0, 0), (0, 0), (1, 1), (1, 1)))
-    c = xp[:, :, 1 : H + 1, 1 : W + 1]
-    dxx = xp[:, :, 1 : H + 1, 2:] + xp[:, :, 1 : H + 1, :W] - 2 * c
-    dyy = xp[:, :, 2:, 1 : W + 1] + xp[:, :, :H, 1 : W + 1] - 2 * c
-    dxy = 0.25 * (xp[:, :, 2:, 2:] - xp[:, :, 2:, :W] - xp[:, :, :H, 2:] + xp[:, :, :H, :W])
     tr = dxx + dyy
     det = dxx * dyy - dxy * dxy
     r = cfg.edge_threshold
@@ -145,19 +156,6 @@ def _dense_scores_xla(dog: jax.Array, cfg: SiftConfig, owned_rows):
     par = (yy & 1) * 2 + (xx & 1)
     s_max = _pack_corner(jnp.abs(v) * (is_max & base_keep), par[None, None])
     s_min = _pack_corner(jnp.abs(v) * (is_min & base_keep), par[None, None])
-
-    # --- dense subpixel-refinement record (shared `cramer_record`: ONE
-    # expression graph for this mirror and the Pallas kernel, so their
-    # ulp-level agreement cannot drift) ---
-    from ..ops.detect_scores import cramer_record
-
-    dgp = jnp.pad(dog.astype(jnp.float32), ((0, 0), (0, 0), (1, 1), (1, 1)))
-
-    def q(dl, dy, dx):
-        return dgp[:, 1 + dl : 1 + dl + S, 1 + dy : 1 + dy + H,
-                   1 + dx : 1 + dx + W]
-
-    val, off_l, off_y, off_x = cramer_record(q, bool(cfg.subpixel))
 
     recs = (val, off_l, off_y, off_x)
     if (He, We) != (H, W):

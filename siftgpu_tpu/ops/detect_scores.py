@@ -73,42 +73,46 @@ _WIN_BYTES = 4_500_000  # budget for the double-buffered window scratch
 def cramer_record(q, subpixel):
     """Dense subpixel-refinement record: the closed-form (Cramer) 3x3 solve
     at every pixel.  `q(dl, dy, dx)` returns the DoG tap array at that
-    offset.  Returns (val, off_l, off_y, off_x).
+    offset.  Returns (val, off_l, off_y, off_x, (dyy, dxx, dxy)) — the
+    spatial Hessian terms are returned so the caller's edge-ratio test
+    reuses them instead of recomputing (they are exactly the solve's
+    d/f/e_ terms; ~12 VPU ops/px saved in the compute-bound stencil).
 
     SINGLE implementation consumed by BOTH the Pallas kernel and the XLA
     mirror (frontend/detect._dense_scores_xla): the bit-level contract
     between the two paths ("records agree to f32 ulps") holds only while
     they share one expression graph — keep it here, not copied."""
     vc = q(0, 0, 0)
+    # spatial Hessian (needed by the edge test even when subpixel is off)
+    d = q(0, 1, 0) + q(0, -1, 0) - 2 * vc
+    f = q(0, 0, 1) + q(0, 0, -1) - 2 * vc
+    e_ = 0.25 * (q(0, 1, 1) - q(0, 1, -1) - q(0, -1, 1) + q(0, -1, -1))
     if not subpixel:
         zero = vc * 0.0
-        return vc, zero, zero, zero
+        return vc, zero, zero, zero, (d, f, e_)
     gl = 0.5 * (q(1, 0, 0) - q(-1, 0, 0))
     gy = 0.5 * (q(0, 1, 0) - q(0, -1, 0))
     gx = 0.5 * (q(0, 0, 1) - q(0, 0, -1))
     a = q(1, 0, 0) + q(-1, 0, 0) - 2 * vc
-    d = q(0, 1, 0) + q(0, -1, 0) - 2 * vc
-    f = q(0, 0, 1) + q(0, 0, -1) - 2 * vc
     b_ = 0.25 * (q(1, 1, 0) - q(1, -1, 0) - q(-1, 1, 0) + q(-1, -1, 0))
     c_ = 0.25 * (q(1, 0, 1) - q(1, 0, -1) - q(-1, 0, 1) + q(-1, 0, -1))
-    e_ = 0.25 * (q(0, 1, 1) - q(0, 1, -1) - q(0, -1, 1) + q(0, -1, -1))
-    detH = (
-        a * (d * f - e_ * e_) - b_ * (b_ * f - c_ * e_)
-        + c_ * (b_ * e_ - c_ * d)
-    )
-    ok_det = jnp.abs(detH) > 1e-12
-    inv_det = jnp.where(ok_det, 1.0 / jnp.where(ok_det, detH, 1.0), 0.0)
     i00 = d * f - e_ * e_
     i01 = c_ * e_ - b_ * f
     i02 = b_ * e_ - c_ * d
     i11 = a * f - c_ * c_
     i12 = b_ * c_ - a * e_
     i22 = a * d - b_ * b_
+    # detH via the first adjugate row (b_*i01 == -b_*(b_*f - c_*e_) exactly:
+    # f32 negation is exact, so this is bit-identical to the expanded form
+    # while reusing i00/i01/i02)
+    detH = a * i00 + b_ * i01 + c_ * i02
+    ok_det = jnp.abs(detH) > 1e-12
+    inv_det = jnp.where(ok_det, 1.0 / jnp.where(ok_det, detH, 1.0), 0.0)
     off_l = -(i00 * gl + i01 * gy + i02 * gx) * inv_det
     off_y = -(i01 * gl + i11 * gy + i12 * gx) * inv_det
     off_x = -(i02 * gl + i12 * gy + i22 * gx) * inv_det
     val = vc + 0.5 * (gl * off_l + gy * off_y + gx * off_x)
-    return val, off_l, off_y, off_x
+    return val, off_l, off_y, off_x, (d, f, e_)
 
 
 def _kernel(
@@ -183,11 +187,19 @@ def _kernel(
         is_max = (v > 0) & (v > nmax) & pre
         is_min = (v < 0) & (v < nmin) & pre
 
+        # --- dense subpixel-refinement RECORD: the Cramer solve at every
+        # pixel (shared `cramer_record` — the 27 taps are already in VMEM).
+        # Emitting (val, off_l, off_y, off_x) per pixel lets the top-k tail
+        # gather 4 record cells per winner instead of 19 DoG patch cells —
+        # the per-element gather cost (~11-15 ns on v5e) dominated detect.
+        # The solve's spatial-Hessian terms double as the edge test's
+        # dyy/dxx/dxy (identical expressions, computed once).
+        val, off_l, off_y, off_x, (dyy, dxx, dxy) = cramer_record(
+            lambda dl, dy, dx: sl(dl + 1, dy, dx), subpixel
+        )
+
         # Hessian edge-ratio test on the center DoG slice (same expressions
         # as detect.py so results match bit-for-bit)
-        dxx = sl(1, 0, 1) + sl(1, 0, -1) - 2 * v
-        dyy = sl(1, 1, 0) + sl(1, -1, 0) - 2 * v
-        dxy = 0.25 * (sl(1, 1, 1) - sl(1, 1, -1) - sl(1, -1, 1) + sl(1, -1, -1))
         tr = dxx + dyy
         det = dxx * dyy - dxy * dxy
         edge_ok = (det > 0) & (tr * tr / jnp.where(det > 0, det, 1.0) < edge_c)
@@ -226,14 +238,6 @@ def _kernel(
             sn_full.reshape(TH // 2, 2, cw), axis=1
         )
 
-        # --- dense subpixel-refinement RECORD: the Cramer solve at every
-        # pixel (shared `cramer_record` — the 27 taps are already in VMEM).
-        # Emitting (val, off_l, off_y, off_x) per pixel lets the top-k tail
-        # gather 4 record cells per winner instead of 19 DoG patch cells —
-        # the per-element gather cost (~11-15 ns on v5e) dominated detect.
-        val, off_l, off_y, off_x = cramer_record(
-            lambda dl, dy, dx: sl(dl + 1, dy, dx), subpixel
-        )
         oval_ref[0, 0, :, pl.ds(c0, cw)] = val
         ool_ref[0, 0, :, pl.ds(c0, cw)] = off_l
         ooy_ref[0, 0, :, pl.ds(c0, cw)] = off_y

@@ -138,6 +138,35 @@ def window_geometry(cfg):
     return margin, win_y, 256, win_o, ori_span
 
 
+def _cum_to_bin_matrix(nb: int) -> np.ndarray:
+    """[nb, nb] constant mapping CUMULATIVE quadrant sums to bin counts.
+
+    The quad-packed histogram path accumulates C[q, j] = sum of wm over
+    pixels in quadrant q with sector index s >= j (the sector indicators
+    ay >= ax*tan_t are NESTED, so s >= j is ONE existing compare — no
+    per-(pixel, bin) one-hot compare needed).  hist[b] = C[q, j] - C[q, j+1]
+    for the (q, j) that maps to bin b (same fold as the `bins` expression in
+    the one-hot paths); the difference and the quadrant->bin permutation are
+    linear, so they ride in this constant, pre-multiplied into the smoothing
+    matrix (hist @ SM == C @ (D @ SM)) — zero extra kernel ops."""
+    nq = nb // 4
+    D = np.zeros((nb, nb), np.float32)
+    for q in range(4):
+        for j in range(nq):
+            if q == 0:
+                b = j                      # qy & qx:   bins = s
+            elif q == 1:
+                b = (2 * nq - 1) - j       # qy & ~qx:  bins = 2nq-1-s
+            elif q == 2:
+                b = 2 * nq + j             # ~qy & ~qx: bins = 2nq+s
+            else:
+                b = (4 * nq - 1) - j       # ~qy & qx:  bins = 4nq-1-s
+            D[q * nq + j, b] += 1.0
+            if j + 1 < nq:
+                D[q * nq + j + 1, b] -= 1.0
+    return D
+
+
 def _smooth_matrix(nb: int, rounds: int = 6) -> np.ndarray:
     """[nb, 3*nb] constant: hist @ M -> (smoothed | left-rolled | right-rolled).
 
@@ -525,28 +554,26 @@ def _kernel(
         wm = wgt * mag
         ax = jnp.abs(gxw)
         ay = jnp.abs(gyw)
-        s = jnp.zeros(ax.shape, jnp.int32)
-        for t in tans:
-            s = s + (ay >= ax * t).astype(jnp.int32)
         qx = (gxw > 0.0) | ((gxw == 0.0) & (gyw < 0.0))
         qy = (gyw > 0.0) | ((gyw == 0.0) & qx)
-        bins = jnp.where(
-            qy,
-            jnp.where(qx, s, (2 * nq - 1) - s),
-            jnp.where(qx, (4 * nq - 1) - s, 2 * nq + s),
-        )
-        # ONE broadcast-compare accumulate instead of nb separate masked
-        # reduce chains (the loop and the broadcast measured within noise of
-        # each other — the [BLK4, nb, 40, 128] intermediate traffic is the
-        # cost either way; a bf16-select variant was tried and measured no
-        # faster).  ~1.6 ms of the 5.0 ms kernel; remaining headroom here
-        # needs a formulation that avoids materializing the one-hot.
-        bid = jax.lax.broadcasted_iota(
-            jnp.int32, (BLK4, nb, ori_span, 128), 1
-        )
-        st = jnp.sum(
-            jnp.where(bins[:, None] == bid, wm[:, None], 0.0), axis=2
-        )                                              # [BLK4, nb, 128]
+        # CUMULATIVE-threshold accumulate (round 5): the sector indicators
+        # (ay >= ax*tan_t) are nested, so s >= j is one compare — C[q, j] =
+        # sum of wm over quadrant q with s >= j replaces the per-(pixel, bin)
+        # one-hot compare of the previous form (bins==bid cost 36 extra
+        # VPU compares per pixel).  The bin differences C[j] - C[j+1] and the quadrant->bin
+        # permutation are folded into the smoothing constant host-side
+        # (`_cum_to_bin_matrix`; sm_ref = D @ SM), so hist_fn returns rows
+        # in (q, j) cumulative order at zero extra kernel cost.
+        inds = [ay >= ax * t for t in tans]            # nested indicators
+        quads = [qy & qx, qy & ~qx, ~qy & ~qx, ~qy & qx]
+        rows_c = []
+        for qm in quads:
+            # where-selects (not mask multiplies): see packed_hist
+            wmq = jnp.where(qm, wm, 0.0)
+            rows_c.append(jnp.sum(wmq, axis=1))        # C[q, 0]
+            for ind in inds:
+                rows_c.append(jnp.sum(jnp.where(ind, wmq, 0.0), axis=1))
+        st = jnp.stack(rows_c, axis=1)                 # [BLK4, nb, 128]
         lane2 = jax.lax.broadcasted_iota(jnp.int32, (BLK4, nb, 128), 2)
         lq2 = lane2 // 32
         # where-selects (not mask multiplies): see packed_hist
@@ -795,7 +822,13 @@ def _orient_sample_impl(
     flts = jnp.stack(
         [a.reshape(nbk, BLK).astype(jnp.float32) for a in (ky, kx, sigma)], axis=1
     )                                                    # [nbk, 3, BLK]
-    sm = jnp.asarray(_smooth_matrix(nb))
+    # pack4's hist rows are (quadrant, sector) CUMULATIVE sums; fold the
+    # cumulative->bin difference matrix into the smoothing constant so the
+    # kernel's hist @ sm_ref contraction is unchanged (`_cum_to_bin_matrix`)
+    sm_np = _smooth_matrix(nb)
+    if pack4:
+        sm_np = _cum_to_bin_matrix(nb) @ sm_np
+    sm = jnp.asarray(sm_np)
     y0g2 = jnp.stack(
         [jnp.asarray(a, jnp.int32).reshape(()) for a in (y0g, w_true, global_h)]
     ).reshape(1, 3)
