@@ -118,8 +118,13 @@ def run_ba_distributed(
         )
         return st.cams, st.points[None], st.lam, st.cost
 
-    cams, points, lam, cost = jax.jit(shard_fn)(
-        sprob.cams, sprob.points, sprob.intrinsics,
-        sprob.cam_idx, sprob.pt_idx, sprob.uv, sprob.w, sprob.pt_fixed,
+    from . import multihost
+
+    args = multihost.globalize_args(
+        (sprob.cams, sprob.points, sprob.intrinsics,
+         sprob.cam_idx, sprob.pt_idx, sprob.uv, sprob.w, sprob.pt_fixed),
+        (P(), P(axis), P(), P(axis), P(axis), P(axis), P(axis), P(axis)),
+        mesh,
     )
+    cams, points, lam, cost = jax.jit(shard_fn)(*args)
     return ba.BAState(cams=cams, points=points, lam=lam, cost=cost), cost

@@ -62,9 +62,14 @@ def optimize_pose_graph_distributed(
         )
         return out.poses, costs
 
-    poses, costs = jax.jit(shard_fn)(
-        g.poses, g.edge_i, g.edge_j, g.t_meas, g.weight
+    from . import multihost
+
+    args = multihost.globalize_args(
+        (g.poses, g.edge_i, g.edge_j, g.t_meas, g.weight),
+        (P(), P(axis), P(axis), P(axis), P(axis)),
+        mesh,
     )
+    poses, costs = jax.jit(shard_fn)(*args)
     return g._replace(poses=poses), costs
 
 
@@ -102,9 +107,14 @@ def optimize_pose_graph_sim3_distributed(
         )
         return out.poses, costs
 
-    poses, costs = jax.jit(shard_fn)(
-        g.poses, g.edge_i, g.edge_j, g.t_meas, g.weight
+    from . import multihost
+
+    args = multihost.globalize_args(
+        (g.poses, g.edge_i, g.edge_j, g.t_meas, g.weight),
+        (P(), P(axis), P(axis), P(axis), P(axis)),
+        mesh,
     )
+    poses, costs = jax.jit(shard_fn)(*args)
     return g._replace(poses=poses), costs
 
 
@@ -143,7 +153,12 @@ def optimize_pose_graph_sim3_cg_distributed(
         )
         return out.poses, costs
 
-    poses, costs = jax.jit(shard_fn)(
-        g.poses, g.edge_i, g.edge_j, g.t_meas, g.weight
+    from . import multihost
+
+    args = multihost.globalize_args(
+        (g.poses, g.edge_i, g.edge_j, g.t_meas, g.weight),
+        (P(), P(axis), P(axis), P(axis), P(axis)),
+        mesh,
     )
+    poses, costs = jax.jit(shard_fn)(*args)
     return g._replace(poses=poses), costs

@@ -32,8 +32,14 @@ def extract_features_dp(
     limitation — verified from the optimized HLO, scripts/scaling.py),
     duplicating the sort on every device.  shard_map runs the whole program
     on the local batch: ZERO collectives, exact same outputs."""
-    sharding = NamedSharding(mesh, P(axis))
-    images = jax.device_put(images, sharding)
+    from . import multihost
+
+    if multihost.multiprocess():
+        # device_put cannot target non-addressable devices; lift the
+        # process-identical batch to a global sharded array instead
+        images = multihost.globalize(images, mesh, P(axis))
+    else:
+        images = jax.device_put(images, NamedSharding(mesh, P(axis)))
     return _dp_fn(cfg, mesh, axis)(images)
 
 

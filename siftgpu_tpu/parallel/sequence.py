@@ -97,8 +97,14 @@ def extract_sequence_dp(
     # residency decided UP FRONT so peak device memory stays bounded: in
     # host mode each chunk's descriptors are pulled (and their device
     # buffers freed) before the next chunk extracts — the store never
-    # accumulates on device
-    host_mode = T * cfg.max_keypoints * 128 > desc_hbm_budget
+    # accumulates on device.  Multi-process runs always take host mode:
+    # the sharded chunk outputs span non-addressable devices, so they are
+    # re-replicated (all-gather) and read to host — the same store every
+    # process then consumes identically.
+    from . import multihost
+
+    mp = multihost.multiprocess()
+    host_mode = mp or T * cfg.max_keypoints * 128 > desc_hbm_budget
     descs, masks_d, xs, ys, ms = [], [], [], [], []
     for lo in range(0, T, chunk):
         t0 = _time.perf_counter()
@@ -108,6 +114,20 @@ def extract_sequence_dp(
             blk = np.concatenate([blk, np.repeat(blk[-1:], pad, axis=0)])
         feats = dp.extract_features_dp(jnp.asarray(blk), cfg, mesh, axis=axis)
         keep = len(blk) - pad
+        if mp:
+            descs.append(multihost.host_read(feats.desc, mesh)[:keep])
+            masks_d.append(multihost.host_read(feats.mask, mesh)[:keep])
+            x_h = multihost.host_read(feats.x, mesh)[:keep]
+            y_h = multihost.host_read(feats.y, mesh)[:keep]
+            m_h = masks_d[-1].copy()
+            xs.append(x_h)
+            ys.append(y_h)
+            ms.append(m_h)
+            metrics.event(
+                "extract_chunk", lo=lo, frames=keep, devices=n,
+                kp=int(m_h.sum()), ms=(_time.perf_counter() - t0) * 1e3,
+            )
+            continue
         if host_mode:
             descs.append(np.asarray(feats.desc[:keep]))
             masks_d.append(np.asarray(feats.mask[:keep]))
@@ -145,10 +165,12 @@ def make_distributed_ba(mesh: Mesh):
             sprob, flat, axis="ba", iters=iters, n_cg=n_cg
         )
         # un-partition points: contiguous blocks by the same linspace bounds
+        from . import multihost
+
         n_pts = prob.points.shape[0]
         bounds = np.linspace(0, n_pts, n + 1).astype(int)
         pts = np.zeros((n_pts, 3), np.float32)
-        pts_s = np.asarray(state.points)
+        pts_s = multihost.host_read(state.points, flat)
         for s in range(n):
             lo, hi = bounds[s], bounds[s + 1]
             pts[lo:hi] = pts_s[s, : hi - lo]

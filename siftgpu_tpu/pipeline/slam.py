@@ -1200,10 +1200,15 @@ def run_slam(frames, intr, cfg, mcfg, scfg: SlamConfig,
                 if checkpoint_path is not None:
                     from . import checkpoint as _ckpt
 
-                    _ckpt.save_slam_state(
-                        checkpoint_path, _result(t), next_frame=t + 1,
-                        keyframes=keyframes, kf_window=scfg.kf_window,
-                    )
+                    # multi-process runs compute identical state on every
+                    # process; only process 0 owns the snapshot file (the
+                    # others racing the same atomic rename would be wasted
+                    # IO at best)
+                    if jax.process_index() == 0:
+                        _ckpt.save_slam_state(
+                            checkpoint_path, _result(t), next_frame=t + 1,
+                            keyframes=keyframes, kf_window=scfg.kf_window,
+                        )
                     metrics.event("checkpoint", frame=t)
             t += 1
         return t
