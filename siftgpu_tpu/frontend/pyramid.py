@@ -251,8 +251,58 @@ def upsample2x(x: jax.Array) -> jax.Array:
     return jax.image.resize(x, (b, 2 * h, 2 * w), method="linear")
 
 
-def build_pyramid(images: jax.Array, cfg: SiftConfig) -> Tuple[Octave, ...]:
-    """images: [B, H, W] grayscale in [0, 1]. Returns per-octave (gauss, dog)."""
+def _octave_levels(base: jax.Array, cfg: SiftConfig, impl: str) -> Octave:
+    """One octave's (gauss, dog) from its base level.
+
+    `impl`: "fused" = the fused Pallas slab kernel (ops/pyramid_kernel.py —
+    all levels + DoGs in VMEM, one HBM write per plane; accelerators),
+    "fused_interpret" for its interpret-mode parity tests, anything else =
+    the sequential per-level `blur_separable` chain (CPU / golden route)."""
+    inc = cfg.incremental_sigmas()
+    if impl.startswith("fused"):
+        from ..ops.pyramid_kernel import blur_octave_fused
+
+        taps_list = [cfg.gaussian_taps(float(s)) for s in inc]
+        gauss, dog = blur_octave_fused(
+            base, taps_list, interpret=(impl == "fused_interpret")
+        )
+        return Octave(gauss=gauss, dog=dog)
+    prec = cfg.pyramid_precision
+    levels = [base]
+    for s in inc:
+        levels.append(
+            blur_separable(levels[-1], cfg.gaussian_taps(float(s)),
+                           precision=prec)
+        )
+    gauss = jnp.stack(levels, axis=1)          # [B, S+3, H, W]
+    dog = gauss[:, 1:] - gauss[:, :-1]         # [B, S+2, H, W]
+    return Octave(gauss=gauss, dog=dog)
+
+
+def _pick_octave_impl(cfg: SiftConfig) -> str:
+    """Default: the XLA banded-matmul chain everywhere.
+
+    The fused Pallas octave kernel (ops/pyramid_kernel.py) was built and
+    measured in round 5 hoping to drop the ~13 per-octave HBM round trips:
+    it is numerically right (ulp-class parity tests) but SLOWER on v5e —
+    4K pyramid 6.09 ms fused vs 4.50 XLA (640x480 b4: 1.71 vs ~1.1), and a
+    TH/TW tile sweep (128/192 x 128/256/512) only made it worse (6.1-7.7).
+    The grid step decomposes into ~100 small [224,384]x[384,128]-class MXU
+    dots whose per-dot setup dominates the saved traffic; larger tiles pay
+    band-padding FLOPs faster than they amortize setup.  Kept behind
+    `octave_impl="fused"` with its parity tests as a documented negative
+    result."""
+    return "xla"
+
+
+def build_pyramid(
+    images: jax.Array, cfg: SiftConfig, octave_impl: str | None = None
+) -> Tuple[Octave, ...]:
+    """images: [B, H, W] grayscale in [0, 1]. Returns per-octave (gauss, dog).
+
+    `octave_impl` overrides the per-octave level builder ("fused" |
+    "fused_interpret" | "xla"; default auto — fused Pallas on accelerators,
+    XLA banded matmuls / convs on CPU)."""
     x = images.astype(jnp.dtype(cfg.pyramid_dtype))
     if cfg.upsampled:
         x = upsample2x(x)
@@ -262,27 +312,19 @@ def build_pyramid(images: jax.Array, cfg: SiftConfig) -> Tuple[Octave, ...]:
         # then maps octave-local coords back to INPUT-image coordinates.
         for _ in range(cfg.first_octave):
             x = downsample2x(x)
-    prec = cfg.pyramid_precision
+    impl = octave_impl or _pick_octave_impl(cfg)
     base = blur_separable(
-        x, cfg.gaussian_taps(cfg.initial_blur_sigma()), precision=prec
+        x, cfg.gaussian_taps(cfg.initial_blur_sigma()),
+        precision=cfg.pyramid_precision,
     )
-    inc = cfg.incremental_sigmas()
     octaves: List[Octave] = []
     for o in range(cfg.octaves):
-        levels = [base]
-        for s in inc:
-            levels.append(
-                blur_separable(
-                    levels[-1], cfg.gaussian_taps(float(s)), precision=prec
-                )
-            )
-        gauss = jnp.stack(levels, axis=1)          # [B, S+3, H, W]
-        dog = gauss[:, 1:] - gauss[:, :-1]         # [B, S+2, H, W]
-        octaves.append(Octave(gauss=gauss, dog=dog))
+        oc = _octave_levels(base, cfg, impl)
+        octaves.append(oc)
         # decimation stays at its default HIGHEST precision: the obo and
         # spatially-sharded builders decimate the same level, and all paths
         # must produce identical octave bases (measured: the cheaper 3-pass
         # selection bought nothing here anyway — decimation is not
         # MXU-pass-bound)
-        base = downsample2x(levels[cfg.dog_levels])
+        base = downsample2x(oc.gauss[:, cfg.dog_levels])
     return tuple(octaves)
