@@ -172,3 +172,133 @@ def test_online_correction_preserves_detection_and_corrects(tmp_path):
     # (online pays mid-run snap noise; its value is usable mid-run state)
     assert ate_on < 0.7 * ate_plain, (ate_on, ate_plain)
     assert ate_on < 1.4 * ate_end, (ate_on, ate_end)
+
+
+def _two_loop_scene(H=144, W=192, noise=0.05):
+    """Out-back-out-back trajectory: the FIRST revisit (~frame 18) closes a
+    loop mid-run, and a substantial post-loop tail (a second outbound leg
+    over already-mapped ground + a second return) follows.  This is the
+    fixture VERDICT r4 task 7 asks for: it separates what online correction
+    buys DURING the run from what an end-of-run refine recovers anyway."""
+    intr = (170.0, 170.0, W / 2.0, H / 2.0)
+    half = 10
+    ks = np.concatenate([
+        np.arange(half),                 # out:   0..9
+        np.arange(half - 2, -1, -1),     # back:  8..0   (first loop closes)
+        np.arange(1, half + 1),          # out2:  1..10  (post-loop tail)
+        np.arange(half - 1, 0, -1),      # back2: 9..1   (second revisit)
+    ])
+    T = len(ks)
+    t_step = np.array([-0.085, 0.012, 0.006])
+    r_step = np.array([0.002, -0.004, 0.001])
+    rvecs = np.outer(ks, r_step)
+    tvecs = np.outer(ks, t_step)
+    frames, gt = fixtures.two_plane_sequence_poses(
+        rvecs, tvecs, H, W, intr, d_near=5.0, d_far=10.0, seed=4
+    )
+    rng = np.random.default_rng(11)
+    frames = np.clip(
+        frames + rng.normal(0.0, noise, frames.shape).astype(np.float32), 0, 1
+    )
+    cfg = SiftConfig(height=H, width=W, max_keypoints=384)
+    mcfg = MatchConfig(max_match=384)
+    scfg = slam.SlamConfig(
+        kf_min_inliers=60, kf_flow_px=8.0, init_flow_px=10.0,
+        kf_window=2, ba_iters=1, ba_cg=4, pnp_iters=4,
+        loop_min_matches=25, loop_kf_gap=3,
+    )
+    return frames, gt, intr, cfg, mcfg, scfg, T
+
+
+def _events(path):
+    import json as _json
+
+    with open(path) as f:
+        return [_json.loads(line) for line in f if line.strip()]
+
+
+def test_online_correction_affirmative_value(tmp_path):
+    """VERDICT r4 task 7: online correction's value asserted AFFIRMATIVELY on
+    a two-loop fixture with a long post-loop tail, not as ATE-within-1.4x.
+
+    (a) mid-run state: right after the first correction fires, the
+        trajectory-so-far (what a mid-run consumer would read) is decisively
+        more accurate than the loop_online=False run's state at the same
+        frame — measured by prefix runs, which equal the full run's causal
+        state at that frame;
+    (b) post-loop tail tracking: PnP inliers over the tail do not degrade
+        relative to the uncorrected run (corrections must not destabilize
+        live tracking while delivering (a))."""
+    import dataclasses
+
+    from siftgpu_tpu.pipeline import metrics as metrics_mod
+
+    frames, gt, intr, cfg, mcfg, scfg, T = _two_loop_scene()
+    gtc = align.camera_centers(gt)
+
+    mon = str(tmp_path / "on.jsonl")
+    online = slam.run_slam(
+        frames, intr, cfg, mcfg, scfg, metrics=metrics_mod.MetricsLogger(mon)
+    )
+    moff = str(tmp_path / "off.jsonl")
+    endonly = slam.run_slam(
+        frames, intr, cfg, mcfg, dataclasses.replace(scfg, loop_online=False),
+        metrics=metrics_mod.MetricsLogger(moff),
+    )
+
+    ev_on = _events(mon)
+    corr = [i for i, e in enumerate(ev_on) if e.get("event") == "loop_correction"]
+    assert corr, "no online correction fired on the two-loop fixture"
+    # frame at which the first correction landed = last tracked frame before
+    # it (sanity: must be mid-run, before the second outbound leg ends)
+    frames_before = [
+        e["frame"] for e in ev_on[: corr[0]] if e.get("event") == "track"
+    ]
+    t_corr = max(frames_before) if frames_before else T // 2
+    assert t_corr < 28, t_corr
+    # query point: after the first loop has FULLY closed (the return leg
+    # reaches the start ~frame 18; corrections on the way in are partial)
+    t_cut = 22
+
+    # (a) mid-run state via prefix runs (tracking is causal+deterministic:
+    # a prefix run IS the full run's state at t_cut; the full run's final
+    # trajectory rows are NOT, because later corrections rewrite history).
+    # The metric: align each prefix on its ESTABLISHED pre-loop chain (the
+    # correction freezes it, so both runs agree there), then measure the
+    # CURRENT pose's error — what a mid-run consumer (relocalizer, planner,
+    # map query) actually reads.  Whole-prefix Sim(3) ATE hides the value:
+    # the un-corrected early segment dominates the RMS in both runs.
+    on_cut = slam.run_slam(frames[:t_cut], intr, cfg, mcfg, scfg)
+    off_cut = slam.run_slam(
+        frames[:t_cut], intr, cfg, mcfg,
+        dataclasses.replace(scfg, loop_online=False),
+    )
+    n_pre = 12  # out-leg frames: drift accumulates, no correction touches it
+
+    def current_pose_err(res):
+        est = align.camera_centers(res.trajectory)
+        s, R, t = align.umeyama(est[:n_pre], gtc[:n_pre], with_scale=True)
+        aligned = (s * (R @ est.T)).T + t
+        return float(np.linalg.norm(aligned[-1] - gtc[t_cut - 1]))
+
+    err_on = current_pose_err(on_cut)
+    err_off = current_pose_err(off_cut)
+    assert err_on < 0.6 * err_off, (
+        f"online correction bought no mid-run accuracy: current-pose error "
+        f"{err_on:.4f} vs uncorrected {err_off:.4f} at frame {t_cut}"
+    )
+
+    # (b) tail tracking health after the first correction
+    def tail_inliers(evs):
+        xs = [
+            e["inliers"] for e in evs
+            if e.get("event") == "track" and e.get("frame", 0) > t_corr
+        ]
+        return float(np.mean(xs)) if xs else 0.0
+
+    ti_on = tail_inliers(ev_on)
+    ti_off = tail_inliers(_events(moff))
+    assert ti_on > 0.8 * ti_off, (
+        f"online correction destabilized tail tracking: "
+        f"mean inliers {ti_on:.1f} vs {ti_off:.1f}"
+    )
