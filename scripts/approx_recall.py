@@ -71,7 +71,11 @@ we = wset(dataclasses.replace(cfg0, detect_topk="exact"), cap)
 t_e = timeit(dataclasses.replace(cfg0, detect_topk="exact"), cap)
 print(f"exact: {len(we)} winners, {t_e:.1f} ms/iter", flush=True)
 for rc in (0.90, 0.95, 0.97, 0.99):
-    cfg = dataclasses.replace(cfg0, detect_topk="approx", topk_recall=rc)
+    # sweep BOTH targets: large rows ride the chunked path, which reads
+    # topk_chunk_recall (production default 0.90 — see SiftConfig)
+    cfg = dataclasses.replace(
+        cfg0, detect_topk="approx", topk_recall=rc, topk_chunk_recall=rc
+    )
     wa = wset(cfg, cap)
     t_a = timeit(cfg, cap)
     print(f"recall {rc}: overlap {len(we & wa)/len(we):.4f}, {t_a:.1f} ms/iter", flush=True)

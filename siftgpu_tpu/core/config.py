@@ -93,6 +93,13 @@ class SiftConfig:
     # r1 item 4).
     detect_topk: str = "auto"
     topk_recall: float = 0.97
+    # per-chunk PartialReduce target for the CHUNKED top-k (rows above
+    # ~2M entries split into 16 chunks + one exact merge, detect._run_topk):
+    # the chunked form over-delivers recall (each chunk reduces ~16x fewer
+    # entries per survivor), so 0.90 here measures winner overlap 0.9908 at
+    # oct0-4K — above the single-call path's 0.978 at target 0.97
+    # (scripts/approx_recall.py, v5e 2026-08-22)
+    topk_chunk_recall: float = 0.90
     # 2^18: engages approx at 640x480-octave-0 class pools and above.
     # Winner-set overlap vs exact at recall 0.97 (scripts/approx_recall.py,
     # v5e 2026-08-21): 0.9908 at 640x480/oct0 (921k pooled, cap 2048) and
