@@ -144,7 +144,10 @@ def main() -> None:
         )
         f2 = extract_features_jit(img2, cfg2)
         _sync(f2.mask)
-        n2 = 20
+        # queue depth 32: at the old 20 the ~25 ms tunnel RTT left ~1.2 ms/
+        # iter of pure dispatch latency inside the number (same fix as the
+        # 16k section in round 5's first pass)
+        n2 = 32
         r2 = []
         for _ in range(REPS):
             t0 = time.perf_counter()
@@ -172,7 +175,10 @@ def main() -> None:
         )
         f3 = extract_features_jit(img3, cfg3)
         _sync(f3.mask)
-        n3 = 10
+        # queue depth 24 (was 10: ~2.5 ms/iter of tunnel RTT was being
+        # attributed to the device); bounded by the live 6-plane record
+        # outputs' HBM footprint at 4K
+        n3 = 24
         r3 = []
         for _ in range(REPS):
             t0 = time.perf_counter()

@@ -629,6 +629,26 @@ def run_slam(frames, intr, cfg, mcfg, scfg: SlamConfig,
         # the corruption channel that starved loop detection after an
         # online fusion (see BAProblem.pt_fixed)
         base = len(keyframes) - len(win)
+        if ba_fn is not None and getattr(ba_fn, "resident", False):
+            # shard-resident map blocks (parallel/resident_ba.py): the
+            # solver owns the device-partitioned point store across
+            # windows — no full-map upload here, only the observation
+            # lists and host-dirty slots travel
+            if not getattr(ba_fn, "_intr_bound", False):
+                ba_fn.set_intrinsics(np.asarray(intr_j))
+                ba_fn._intr_bound = True
+            new_cams, cost = ba_fn.solve(
+                np.stack([k.pose for k in win]), obs_c, obs_p,
+                np.stack(obs_uv), np.asarray(map_anchor < base), map_X,
+                scfg.ba_iters, scfg.ba_cg,
+            )
+            for ci, k in enumerate(win):
+                k.pose = new_cams[ci]
+                traj[k.frame_idx] = new_cams[ci]
+            _record_odo()
+            metrics.event("ba_window", n_kf=len(win), n_obs=len(obs_c),
+                          cost=cost)
+            return
         prob = ba.BAProblem(
             cams=cams,
             points=jnp.asarray(map_X),
