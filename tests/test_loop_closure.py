@@ -6,6 +6,8 @@ to reduce accumulated drift — `pose_graph=True` must beat `pose_graph=False`
 on ATE, on the virtual 8-device mesh.
 """
 
+import os
+
 import jax
 import numpy as np
 import pytest
@@ -210,94 +212,58 @@ def _two_loop_scene(H=144, W=192, noise=0.05):
     return frames, gt, intr, cfg, mcfg, scfg, T
 
 
-def _events(path):
-    import json as _json
-
-    with open(path) as f:
-        return [_json.loads(line) for line in f if line.strip()]
-
-
 def test_online_correction_affirmative_value(tmp_path):
     """VERDICT r4 task 7: online correction's value asserted AFFIRMATIVELY on
     a two-loop fixture with a long post-loop tail, not as ATE-within-1.4x.
 
-    (a) mid-run state: right after the first correction fires, the
+    (a) mid-run state: right after the first loop fully closes, the
         trajectory-so-far (what a mid-run consumer would read) is decisively
         more accurate than the loop_online=False run's state at the same
-        frame — measured by prefix runs, which equal the full run's causal
-        state at that frame;
+        frame — measured by prefix runs (== the full run's causal state at
+        that frame; the final trajectory is not, since later corrections
+        rewrite history), aligned on the frozen pre-loop chain and
+        evaluated at the CURRENT pose.  Whole-prefix Sim(3) ATE hides the
+        value (the uncorrected early segment dominates the RMS in both
+        runs — measured 0.175 vs 0.164);
     (b) post-loop tail tracking: PnP inliers over the tail do not degrade
-        relative to the uncorrected run (corrections must not destabilize
-        live tracking while delivering (a))."""
-    import dataclasses
+        relative to the uncorrected run.
 
-    from siftgpu_tpu.pipeline import metrics as metrics_mod
+    The four SLAM runs execute in a FRESH subprocess
+    (tests/loop_value_worker.py): their compile volume reliably pushed a
+    long-lived xdist worker over the cumulative XLA:CPU segfault threshold
+    (crashed the worker twice in full-suite runs while passing standalone
+    every time — see pyproject.toml's addopts note)."""
+    import subprocess
+    import sys as _sys
 
-    frames, gt, intr, cfg, mcfg, scfg, T = _two_loop_scene()
-    gtc = align.camera_centers(gt)
-
-    mon = str(tmp_path / "on.jsonl")
-    online = slam.run_slam(
-        frames, intr, cfg, mcfg, scfg, metrics=metrics_mod.MetricsLogger(mon)
+    out = tmp_path / "loop_value.npz"
+    worker = os.path.join(os.path.dirname(__file__), "loop_value_worker.py")
+    env = dict(os.environ)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    extra = env.get("PYTHONPATH", "")
+    env["PYTHONPATH"] = os.pathsep.join(
+        p for p in [repo, "/root/.axon_site", extra] if p
     )
-    moff = str(tmp_path / "off.jsonl")
-    endonly = slam.run_slam(
-        frames, intr, cfg, mcfg, dataclasses.replace(scfg, loop_online=False),
-        metrics=metrics_mod.MetricsLogger(moff),
+    proc = subprocess.run(
+        [_sys.executable, worker, str(out)], env=env, timeout=1100,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
     )
+    assert proc.returncode == 0, proc.stdout.decode(errors="replace")[-4000:]
+    res = np.load(out)
 
-    ev_on = _events(mon)
-    corr = [i for i, e in enumerate(ev_on) if e.get("event") == "loop_correction"]
-    assert corr, "no online correction fired on the two-loop fixture"
-    # frame at which the first correction landed = last tracked frame before
-    # it (sanity: must be mid-run, before the second outbound leg ends)
-    frames_before = [
-        e["frame"] for e in ev_on[: corr[0]] if e.get("event") == "track"
-    ]
-    t_corr = max(frames_before) if frames_before else T // 2
-    assert t_corr < 28, t_corr
-    # query point: after the first loop has FULLY closed (the return leg
-    # reaches the start ~frame 18; corrections on the way in are partial)
-    t_cut = 22
-
-    # (a) mid-run state via prefix runs (tracking is causal+deterministic:
-    # a prefix run IS the full run's state at t_cut; the full run's final
-    # trajectory rows are NOT, because later corrections rewrite history).
-    # The metric: align each prefix on its ESTABLISHED pre-loop chain (the
-    # correction freezes it, so both runs agree there), then measure the
-    # CURRENT pose's error — what a mid-run consumer (relocalizer, planner,
-    # map query) actually reads.  Whole-prefix Sim(3) ATE hides the value:
-    # the un-corrected early segment dominates the RMS in both runs.
-    on_cut = slam.run_slam(frames[:t_cut], intr, cfg, mcfg, scfg)
-    off_cut = slam.run_slam(
-        frames[:t_cut], intr, cfg, mcfg,
-        dataclasses.replace(scfg, loop_online=False),
+    assert int(res["n_corrections"]) >= 1, (
+        "no online correction fired on the two-loop fixture"
     )
-    n_pre = 12  # out-leg frames: drift accumulates, no correction touches it
+    # first correction lands mid-run, before the second outbound leg ends
+    assert int(res["t_corr"]) < 28, int(res["t_corr"])
 
-    def current_pose_err(res):
-        est = align.camera_centers(res.trajectory)
-        s, R, t = align.umeyama(est[:n_pre], gtc[:n_pre], with_scale=True)
-        aligned = (s * (R @ est.T)).T + t
-        return float(np.linalg.norm(aligned[-1] - gtc[t_cut - 1]))
-
-    err_on = current_pose_err(on_cut)
-    err_off = current_pose_err(off_cut)
+    err_on, err_off = float(res["err_on"]), float(res["err_off"])
     assert err_on < 0.6 * err_off, (
         f"online correction bought no mid-run accuracy: current-pose error "
-        f"{err_on:.4f} vs uncorrected {err_off:.4f} at frame {t_cut}"
+        f"{err_on:.4f} vs uncorrected {err_off:.4f}"
     )
 
-    # (b) tail tracking health after the first correction
-    def tail_inliers(evs):
-        xs = [
-            e["inliers"] for e in evs
-            if e.get("event") == "track" and e.get("frame", 0) > t_corr
-        ]
-        return float(np.mean(xs)) if xs else 0.0
-
-    ti_on = tail_inliers(ev_on)
-    ti_off = tail_inliers(_events(moff))
+    ti_on, ti_off = float(res["tail_inl_on"]), float(res["tail_inl_off"])
     assert ti_on > 0.8 * ti_off, (
         f"online correction destabilized tail tracking: "
         f"mean inliers {ti_on:.1f} vs {ti_off:.1f}"
