@@ -100,12 +100,19 @@ class SiftConfig:
     # oct0-4K — above the single-call path's 0.978 at target 0.97
     # (scripts/approx_recall.py, v5e 2026-08-22)
     topk_chunk_recall: float = 0.90
-    # 2^18: engages approx at 640x480-octave-0 class pools and above.
-    # Winner-set overlap vs exact at recall 0.97 (scripts/approx_recall.py,
-    # v5e 2026-08-21): 0.9908 at 640x480/oct0 (921k pooled, cap 2048) and
-    # 0.978 at 4K (12.4M pooled, cap 8192) — both clear the BASELINE >= 95%
-    # repeatability bar; exact top-k costs 3-27x more at these sizes.
-    topk_approx_min: int = 1 << 18
+    # 2^16: engages approx from ~640x480 TAIL octaves upward, which also
+    # lets detect_pyramid batch the tail octaves into ONE approx call at
+    # 640-class (the r4 batching only fired at 4K-class).  Per-row-size
+    # exact-vs-approx solo cost (scripts/profile_detect.py, v5e
+    # 2026-08-22, ~0.9 ms dispatch floor in both): 245k entries 3.45 vs
+    # 1.00 ms, 73k 2.09 vs 0.94, 24k 1.20 vs 0.89, 6k 0.97 vs 0.89 —
+    # approx wins or ties at EVERY size down to the floor; 2^16 keeps
+    # tiny parity-config octaves exact.  Winner-set overlap vs exact at
+    # recall 0.97 (scripts/approx_recall.py, v5e 2026-08-21): 0.9908 at
+    # 640x480/oct0 (921k pooled, cap 2048) and 0.978 at 4K (12.4M pooled,
+    # cap 8192); the 640 FULL-pyramid overlap incl. batched approx tails
+    # is re-validated by scripts/tail_overlap.py.
+    topk_approx_min: int = 1 << 16
 
     # --- orientation ---
     max_orientations: int = 2

@@ -134,6 +134,12 @@ def _bin_chunk(sgx, sgy, theta, cfg: SiftConfig):
     wrc = jnp.asarray(wrc)
     gwf = jnp.asarray(gw).reshape(G2)
 
+    # one-hot soft assign (a cumulative-relu basis — NB+1 channels ψ =
+    # (1, ob, relu(ob-1), ..) with the tent second-difference matrix applied
+    # after the spatial contraction, as in kp_engine._cum_to_bin_matrix —
+    # was measured WORSE here: 2.25 vs 1.84 ms isolated at 4x8192 kp on
+    # v5e 2026-08-22; the extra MXU channel + second contraction outweigh
+    # the saved floor/compare VPU ops, unlike the kernel's VPU-bound case)
     mag = jnp.sqrt(sgx * sgx + sgy * sgy) * gwf            # [B, C, G2]
     ang = (jnp.arctan2(sgy, sgx) - theta[..., None]) % _TWO_PI
     ob = ang * (NB / _TWO_PI)

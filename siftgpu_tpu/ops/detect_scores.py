@@ -67,7 +67,13 @@ def _read_cw() -> int:
 
 
 _CW = _read_cw()
-_WIN_BYTES = 4_500_000  # budget for the double-buffered window scratch
+# budget for the double-buffered window scratch.  9 MB keeps TH = 64 at
+# EVERY production width (4.5 MB forced TH = 16 at 4K-class Wo = 3840:
+# 16 halo rows per 16-row slab re-read the whole input TWICE, and the
+# [16, cw] per-op arrays paid 4x the per-op overhead of [64, cw] — the
+# stencil is issue-bound, not bandwidth-bound).  Measured v5e 4K
+# detect_scores: TH=16 10.5 ms -> TH=64 see CLAUDE.md round-5 table.
+_WIN_BYTES = 9_000_000
 
 
 def cramer_record(q, subpixel):
@@ -172,16 +178,29 @@ def _kernel(
             return taps[(p, dx)][1 + dy : 1 + dy + TH]
 
         v = sl(1, 0, 0)
-        nmax = None
-        nmin = None
-        for p in (0, 1, 2):
-            for dy in (-1, 0, 1):
-                for dx in (-1, 0, 1):
-                    if p == 1 and dy == 0 and dx == 0:
-                        continue
-                    t = sl(p, dy, dx)
-                    nmax = t if nmax is None else jnp.maximum(nmax, t)
-                    nmin = t if nmin is None else jnp.minimum(nmin, t)
+        # separable 26-neighbor reduction: horizontal 3-tap max/min per
+        # plane on the full (TH+2)-row tap arrays, vertical 3-tap via row
+        # slides, center row of the center plane from the dx=±1 taps only.
+        # Same value set as the flat 25-op loop (max/min are order-free),
+        # so the score planes stay bit-identical — at 30 VPU ops instead
+        # of 50 in the issue-bound stencil.
+        def sep(op):
+            h = {
+                p: op(op(taps[(p, -1)], taps[(p, 0)]), taps[(p, 1)])
+                for p in (0, 1, 2)
+            }
+
+            def vrow(a, dy):
+                return a[1 + dy : 1 + dy + TH]
+
+            full0 = op(op(vrow(h[0], -1), vrow(h[0], 0)), vrow(h[0], 1))
+            full2 = op(op(vrow(h[2], -1), vrow(h[2], 0)), vrow(h[2], 1))
+            hcen = op(taps[(1, -1)], taps[(1, 1)])
+            m8 = op(op(vrow(h[1], -1), vrow(h[1], 1)), vrow(hcen, 0))
+            return op(op(full0, full2), m8)
+
+        nmax = sep(jnp.maximum)
+        nmin = sep(jnp.minimum)
 
         pre = jnp.abs(v) > 0.8 * thr
         is_max = (v > 0) & (v > nmax) & pre
