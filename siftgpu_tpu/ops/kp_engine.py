@@ -190,23 +190,33 @@ def _smooth_matrix(nb: int, rounds: int = 6) -> np.ndarray:
 
 
 def _kernel(
-    cur_ref, nxt_ref, flt_ref, y0g_ref, sm_ref, gx_hbm, gy_hbm,
-    misc_ref, sgx_ref, sgy_ref,
-    wxy, b_scr, sems, *scr,
+    cur_ref, nxt_ref, flt_ref, y0g_ref, sm_ref, *rest,
     win_y, win_x, win_o, ori_span, nb, nori, G, peak_ratio,
-    sig_f, rad_f, spacing, spc_cell, narrow, packed, pack4,
+    sig_f, rad_f, spacing, spc_cell, narrow, packed, pack4, pack_g,
 ):
     """cur/nxt_ref: [1, 9, BLK] int32 SMEM (plane, wy0, wx0, ro, sy, sx,
     valid, co, ix); flt_ref: [1, 3, BLK] f32 SMEM (ky, kx, sigma); y0g_ref:
     [1, 3] int32 SMEM (global row offset, true image width, global image
-    height); sm_ref: [nb, 3nb] smoothing constant; wxy: [2, BLK, WIN_Y,
-    2*WIN_X] double-buffered window scratch (gx cols [:WIN_X]).
+    height); sm_ref: [nb, 3nb] smoothing constant.
+
+    `pack_g` (static, narrow-only): the gradient pair arrives as ONE u32
+    plane per level (gy bf16 bits in [31:16], gx in [15:0], packed by the
+    XLA prologue in `_orient_sample_impl`) — HALVING the per-keypoint DMA
+    count AND the per-keypoint rolls; `wxy` is then [2, BLK, WIN_Y, WIN_X]
+    u32 and `build_narrow` bit-unpacks after the single roll (exact: the
+    unpacked f32 values are the bf16 gradients).  Without pack_g, wxy is
+    [2, BLK, WIN_Y, 2*WIN_X] bf16 with gx in cols [:WIN_X].
 
     `narrow` (static): every contributing pixel lies within 62 px of the
     keypoint column, so compute runs on a per-keypoint 128-lane window —
-    `co` = dynamic lane offset, realized as one `pltpu.roll` per plane into
-    the compact `nwin` scratch.  Halves the histogram VPU work, the tent
-    MXU matmul, and the column reduction vs the aligned 256-lane window."""
+    `co` = dynamic lane offset, realized as one `pltpu.roll` per keypoint
+    into the compact `nwin` scratch.  Halves the histogram VPU work, the
+    tent MXU matmul, and the column reduction vs the aligned 256-lane
+    window."""
+    if pack_g:
+        gp_hbm, misc_ref, sgx_ref, sgy_ref, wxy, b_scr, sems, *scr = rest
+    else:
+        gx_hbm, gy_hbm, misc_ref, sgx_ref, sgy_ref, wxy, b_scr, sems, *scr = rest
     G2 = G * G
     i = pl.program_id(0)
     nbk = pl.num_programs(0)
@@ -222,30 +232,35 @@ def _kernel(
             wxy.at[dslot, k, :, pl.ds(col0, win_x)], sems.at[dslot, sem_idx],
         )
 
+    def start_windows(ref, dslot):
+        for k in range(BLK):
+            @pl.when(ref[0, 6, k] > 0)
+            def _():
+                if pack_g:
+                    dma(gp_hbm, ref, k, dslot, 0, k).start()
+                else:
+                    dma(gx_hbm, ref, k, dslot, 0, 2 * k).start()
+                    dma(gy_hbm, ref, k, dslot, win_x, 2 * k + 1).start()
+
     # DMA only the windows of VALID keypoints (start/wait guarded by the same
     # SMEM flag, so semaphore signals always pair up); invalid keypoints read
     # stale scratch, and their outputs are masked downstream.
     @pl.when(i == 0)
     def _warmup():
-        for k in range(BLK):
-            @pl.when(cur_ref[0, 6, k] > 0)
-            def _():
-                dma(gx_hbm, cur_ref, k, 0, 0, 2 * k).start()
-                dma(gy_hbm, cur_ref, k, 0, win_x, 2 * k + 1).start()
+        start_windows(cur_ref, 0)
 
     @pl.when(i + 1 < nbk)
     def _prefetch():
-        for k in range(BLK):
-            @pl.when(nxt_ref[0, 6, k] > 0)
-            def _():
-                dma(gx_hbm, nxt_ref, k, nslot, 0, 2 * k).start()
-                dma(gy_hbm, nxt_ref, k, nslot, win_x, 2 * k + 1).start()
+        start_windows(nxt_ref, nslot)
 
     for k in range(BLK):
         @pl.when(cur_ref[0, 6, k] > 0)
         def _():
-            dma(gx_hbm, cur_ref, k, slot, 0, 2 * k).wait()
-            dma(gy_hbm, cur_ref, k, slot, win_x, 2 * k + 1).wait()
+            if pack_g:
+                dma(gp_hbm, cur_ref, k, slot, 0, k).wait()
+            else:
+                dma(gx_hbm, cur_ref, k, slot, 0, 2 * k).wait()
+                dma(gy_hbm, cur_ref, k, slot, win_x, 2 * k + 1).wait()
 
     y0g = y0g_ref[0, 0]
     w_true = y0g_ref[0, 1]
@@ -270,13 +285,24 @@ def _kernel(
     def build_narrow(k):
         co = cur_ref[0, 7, k]
         ro = pl.multiple_of(cur_ref[0, 3, k], 8)
-        # upcast at the roll: the DMA'd windows are bf16 (HBM traffic is
-        # the kernel's dominant cost) but Mosaic's dynamic_rotate only
-        # lowers for 32-bit lanes, and downstream math is f32 anyway
-        nwin[k, :, :128] = pltpu.roll(
-            wxy[slot, k, :, :win_x].astype(jnp.float32), -co, 1)[:, :128]
-        nwin[k, :, 128:] = pltpu.roll(
-            wxy[slot, k, :, win_x:].astype(jnp.float32), -co, 1)[:, :128]
+        if pack_g:
+            # ONE roll on the packed u32 window, then bit-unpack: f32 bits
+            # of a bf16 value are its 16 bits shifted high, so gx (low half)
+            # is `w << 16` and gy (high half) is `w & 0xffff0000` — exactly
+            # the values the unpacked path's bf16->f32 upcast produced
+            rolled = pltpu.roll(wxy[slot, k], -co, 1)[:, :128]
+            nwin[k, :, :128] = jax.lax.bitcast_convert_type(
+                rolled << jnp.uint32(16), jnp.float32)
+            nwin[k, :, 128:] = jax.lax.bitcast_convert_type(
+                rolled & jnp.uint32(0xFFFF0000), jnp.float32)
+        else:
+            # upcast at the roll: the DMA'd windows are bf16 (HBM traffic is
+            # the kernel's dominant cost) but Mosaic's dynamic_rotate only
+            # lowers for 32-bit lanes, and downstream math is f32 anyway
+            nwin[k, :, :128] = pltpu.roll(
+                wxy[slot, k, :, :win_x].astype(jnp.float32), -co, 1)[:, :128]
+            nwin[k, :, 128:] = pltpu.roll(
+                wxy[slot, k, :, win_x:].astype(jnp.float32), -co, 1)[:, :128]
         if pack4:
             # FOUR keypoints share each 128-lane register (32-lane slots,
             # centers 16/48/80/112 for gx and +128 for gy) — quartering the
@@ -772,6 +798,18 @@ def _orient_sample_impl(
     if (H2, W2) != (H, Wimg):
         gx = jnp.pad(gx, ((0, 0), (0, H2 - H), (0, W2 - Wimg)))
         gy = jnp.pad(gy, ((0, 0), (0, H2 - H), (0, W2 - Wimg)))
+    # narrow geometry rides the PACKED gradient plane: one u32 per pixel
+    # (gy bf16 bits high, gx low) packed here in a cheap XLA pass, so the
+    # kernel issues ONE window DMA + ONE roll per keypoint instead of two
+    # of each (the per-keypoint DMA/scaffolding floor was ~2.2 ms of the
+    # 4.3 ms kernel at 8192 slots)
+    pack_g = margin <= 62 and win_x == 256
+    if pack_g:
+        to16 = lambda a: jax.lax.bitcast_convert_type(a, jnp.uint16).astype(
+            jnp.uint32)
+        g_in = ((to16(gy) << jnp.uint32(16)) | to16(gx),)
+    else:
+        g_in = (gx, gy)
 
     pad = (-N) % BLK
     if pad:
@@ -840,7 +878,7 @@ def _orient_sample_impl(
         win_y=win_y, win_x=win_x, win_o=win_o, ori_span=ori_span, nb=nb,
         nori=nori, G=G, peak_ratio=peak_ratio, sig_f=sig_f, rad_f=rad_f,
         spacing=spacing, spc_cell=spc_cell, narrow=narrow, packed=packed,
-        pack4=pack4,
+        pack4=pack4, pack_g=pack_g,
     )
     in_specs = [
         pl.BlockSpec((1, 9, BLK), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
@@ -848,9 +886,7 @@ def _orient_sample_impl(
         pl.BlockSpec((1, 3, BLK), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
         pl.BlockSpec((1, 3), lambda i: (0, 0), memory_space=pltpu.SMEM),
         pl.BlockSpec((nb, 3 * nb), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec(memory_space=pl.ANY),
-        pl.BlockSpec(memory_space=pl.ANY),
-    ]
+    ] + [pl.BlockSpec(memory_space=pl.ANY)] * len(g_in)
     out_specs = [
         pl.BlockSpec((BLK, 2 * nori), lambda i: (i, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((BLK, nori * G2), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -867,9 +903,10 @@ def _orient_sample_impl(
             jax.ShapeDtypeStruct((Np, nori * G2), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, BLK, win_y, 2 * win_x), jnp.bfloat16),
+            (pltpu.VMEM((2, BLK, win_y, win_x), jnp.uint32) if pack_g
+             else pltpu.VMEM((2, BLK, win_y, 2 * win_x), jnp.bfloat16)),
             pltpu.VMEM((BLK, 128 if narrow else win_x, G2), jnp.bfloat16),
-            pltpu.SemaphoreType.DMA((2, 2 * BLK)),
+            pltpu.SemaphoreType.DMA((2, BLK if pack_g else 2 * BLK)),
         ]
         + (
             [
@@ -888,7 +925,7 @@ def _orient_sample_impl(
             vmem_limit_bytes=96 * 1024 * 1024
         ),
         interpret=interpret,
-    )(ints, nxt, flts, y0g2, sm, gx, gy)
+    )(ints, nxt, flts, y0g2, sm, *g_in)
     theta = misc[:N, :nori]
     haspk = misc[:N, nori:] > 0.5
     return theta, haspk, sgx[:N], sgy[:N]
