@@ -44,8 +44,10 @@ __all__ = ["detect_scores"]
 import os as _os
 
 # lane chunk per compute step: 1920 measured best at 4K (v5e sweep 512/1024/
-# 1920/3840 -> 10.0/9.5/9.1/9.5 ms; smaller chunks pay per-chunk tap set-up,
-# full-width pushes VMEM temporaries)
+# 1920/3840 -> 10.0/9.5/9.1/9.5 ms at TH=16; re-checked at TH=64 after the
+# round-5 budget bump: 3840 full-width still loses, 6.79 vs 6.56 ms —
+# smaller chunks pay per-chunk tap set-up, full-width pushes VMEM
+# temporaries)
 
 
 def _read_cw() -> int:
