@@ -185,16 +185,76 @@ def _descriptor_chunk(
     return _bin_chunk(sgx, sgy, theta, cfg)
 
 
+@lru_cache(maxsize=None)
+def _w2_constant(G: int, D: int, spc: int) -> np.ndarray:
+    """[G2, D*D] fused row x col spatial-tent matrix: W2[g, r*D+c] =
+    wr[i(g), r] * wc[j(g), c] — collapses the double [G,D] einsum of
+    `_bin_chunk` into ONE G2-contraction."""
+    _, wrc, _ = _grid_constants(G, D, spc)
+    return np.einsum("ir,jc->ijrc", wrc, wrc).reshape(G * G, D * D)
+
+
+def _bin_chunk_fast(sgx, sgy, theta, cfg: SiftConfig, bf16: bool):
+    """Accelerator formulation of `_bin_chunk`: circular-tent orientation
+    weights + a single [G2, D*D] MXU contraction.
+
+    The adjacent-bin soft assign w(o0) = 1-fo, w(o0+1 mod NB) = fo is
+    exactly relu(1 - circular_distance(ob, bin)) — no floor/one-hot compare
+    chain; the row/col cell tents collapse into the constant `_w2_constant`
+    so cell binning is one G2-contraction per orientation channel.
+    Measured (v5e, [4, 16384, 256] slots, scripts/probe_bin.py): 2.53 ms
+    (one-hot + double einsum, chunk 512) -> 1.65 f32 -> 1.04 bf16; the bf16
+    contraction moves no descriptor element by more than 1 uint8 step.
+    Wrap-edge semantics: ob == NB (fp rounding of ang ~ 2pi) lands its
+    weight on bin 0 — the oracle's `floor(ob) % NB` (oracle/sift_cpu.py),
+    where `_bin_chunk`'s clip kept it on bin NB-1.
+    """
+    B, C, G2 = sgx.shape
+    NB = cfg.descriptor_bins
+    D = cfg.descriptor_width
+    G = cfg.descriptor_grid
+    _, _, gw = _grid_constants(G, D, cfg.descriptor_samples_per_cell)
+    gwf = jnp.asarray(gw).reshape(G2)
+    mag = jnp.sqrt(sgx * sgx + sgy * sgy) * gwf
+    ang = (jnp.arctan2(sgy, sgx) - theta[..., None]) % _TWO_PI
+    ob = ang * (NB / _TWO_PI)
+    bins = jnp.arange(NB, dtype=jnp.float32)[:, None]
+    ad = jnp.abs(ob[..., None, :] - bins)              # [B, C, NB, G2]
+    w = jnp.maximum(1.0 - jnp.minimum(ad, NB - ad), 0.0)
+    mo = mag[..., None, :] * w
+    W2 = jnp.asarray(_w2_constant(G, D, cfg.descriptor_samples_per_cell))
+    dn = (((3,), (0,)), ((), ()))
+    if bf16:
+        desc = jax.lax.dot_general(
+            mo.astype(jnp.bfloat16), W2.astype(jnp.bfloat16), dn,
+            preferred_element_type=jnp.float32,
+        )                                              # [B, C, NB, D*D]
+    else:
+        desc = jax.lax.dot_general(
+            mo, W2, dn, precision=jax.lax.Precision.HIGHEST,
+        )
+    return jnp.swapaxes(desc, -1, -2).reshape(B, C, D * D * NB)
+
+
 def bin_descriptors(
     sgx: jax.Array, sgy: jax.Array, theta: jax.Array, cfg: SiftConfig,
-    chunk: int = 512,
+    chunk: int | None = None,
 ) -> jax.Array:
     """uint8 descriptors from pre-sampled gradients (the fused-kernel path).
 
     sgx, sgy: [B, K2, G2] with out-of-image samples zeroed; theta: [B, K2].
-    Chunked over keypoints with `lax.map` to bound the [B, chunk, G2, NB]
-    intermediate, exactly like `compute_descriptors`.
+    Chunked over keypoints with `lax.map` to bound the [B, chunk, NB, G2]
+    intermediate, exactly like `compute_descriptors`.  Rides
+    `_bin_chunk_fast` (bf16 contraction on accelerators, f32 HIGHEST on
+    CPU so interpret-mode parity tests stay tight); the golden/unfused
+    path keeps `_bin_chunk`.
     """
+    bf16 = jax.default_backend() != "cpu"
+    if chunk is None:
+        # the bf16 intermediate is half the size: larger chunks amortize the
+        # lax.map step overhead (1.09 -> 1.04 ms; the r4 chunk-2048 negative
+        # result was measured on the f32 one-hot body)
+        chunk = 2048 if bf16 else 512
     B, K2, G2 = sgx.shape
     pad = (-K2) % chunk
     if pad:
@@ -211,7 +271,7 @@ def bin_descriptors(
 
     def body(a):
         cx, cy_, cth = a
-        return _bin_chunk(cx, cy_, cth, cfg)
+        return _bin_chunk_fast(cx, cy_, cth, cfg, bf16)
 
     out = jax.lax.map(body, args)                  # [nc, B, chunk, 128]
     out = jnp.moveaxis(out, 0, 1).reshape(B, nc * chunk, -1)[:, :K2]
