@@ -268,8 +268,15 @@ _TWOSTAGE_MIN = 1 << 21  # 4K-class only: at 640-class rows (921k) the
                          # 0.97 (chunks are small there, no over-delivery)
                          # for only ~0.2 ms — measured and rejected   # row length above which the chunked form wins
 _TWOSTAGE_R = 16          # chunks per row
-_TWOSTAGE_KDIV = 2        # per-chunk k = cap // KDIV (capacity guard: one
-                          # chunk may hold up to kc of the row's true top-k)
+_TWOSTAGE_KDIV = 4        # per-chunk k = cap // KDIV (capacity guard: one
+                          # chunk may hold up to kc of the row's true top-k).
+                          # Sweep at 4K-oct0 (scripts/probe_topk0.py, 12.5M
+                          # entries, k=8192): KDIV=2 2.44 ms / overlap
+                          # 0.9955, KDIV=4 1.88 / 0.9885, R=32 KDIV=8
+                          # 1.85 / 0.9874, single-call rc=.90 2.10 / 0.9535
+                          # — approx cost scales with per-call k, so the
+                          # smaller chunk k wins while chunk spreading keeps
+                          # overlap far above the 0.95 quality bar
 
 
 def _run_topk(bscore, cap, cfg):
