@@ -55,7 +55,10 @@ _NEG = -1e30
 # larger BLK amortizes per-step overhead, costs VMEM).  Measured v5e, 8192
 # noise-gradient slots at 640x480 on the round-4 lane-major kernel:
 # BLK=16 619 ns/slot, 32 593 (-4%; ~24 MB scratch, well under the 96 MB
-# scoped-vmem limit) — 32 is the default since round 4.
+# scoped-vmem limit) — 32 is the default since round 4.  BLK=64 measured
+# WORSE on the round-5 packed-u32 kernel (545 vs 528 ns/slot, bench_kp
+# 2026-08-22): the wider block gains no DMA overlap (already double-
+# buffered) and the larger scratch hurts scheduling.
 def _read_blk() -> int:
     import os
 
@@ -67,9 +70,9 @@ def _read_blk() -> int:
     # must be a small positive even value: odd disables the pair-packed
     # histogram path, <=0 breaks the Np//BLK grid math, large blows the
     # 96 MB scoped-vmem limit at compile time
-    if v not in (2, 4, 8, 16, 32):
+    if v not in (2, 4, 8, 16, 32, 64):
         raise ValueError(
-            f"SIFTGPU_KP_BLK={v}: expected one of 2/4/8/16/32 "
+            f"SIFTGPU_KP_BLK={v}: expected one of 2/4/8/16/32/64 "
             "(even, and bounded by the kernel's VMEM scratch budget)"
         )
     return v
