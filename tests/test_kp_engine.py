@@ -129,3 +129,36 @@ def test_fused_degenerate_flat_image():
     oc, kp, grads = _real_keypoints(cfg, img)
     th2, m2, d2 = fused.orient_describe_fused(grads, kp, cfg, interpret=True)
     assert not bool(np.asarray(m2).any())
+
+
+def test_bin_chunk_fast_matches_golden_body():
+    """`_bin_chunk_fast` (circular-tent + single [G2, D*D] contraction, the
+    fused-path binning) computes the SAME adjacent-bin soft-assign weights
+    as the golden one-hot `_bin_chunk`; only the contraction association
+    differs (one collapsed [G2, 16] matmul vs two [16, 4] einsums), so the
+    uint8-quantized descriptors agree to at most one quantization step on
+    the f32 path and on the bf16 accelerator variant."""
+    from siftgpu_tpu.frontend import describe
+
+    cfg = SiftConfig(height=64, width=96)
+    G2 = cfg.descriptor_grid ** 2
+    rng = np.random.default_rng(7)
+    B, C = 2, 256
+    sgx = jnp.asarray(rng.standard_normal((B, C, G2)).astype(np.float32))
+    sgy = jnp.asarray(rng.standard_normal((B, C, G2)).astype(np.float32))
+    th = jnp.asarray(rng.uniform(0, 2 * np.pi, (B, C)).astype(np.float32))
+
+    ref = np.asarray(describe._bin_chunk(sgx, sgy, th, cfg))
+    fast = np.asarray(describe._bin_chunk_fast(sgx, sgy, th, cfg, bf16=False))
+    # raw pre-normalization values agree to f32 summation-order tolerance
+    np.testing.assert_allclose(fast, ref, rtol=2e-5, atol=2e-5)
+
+    q_ref = np.asarray(
+        describe.finalize_descriptors(jnp.asarray(ref), cfg)).astype(int)
+    for bf16 in (False, True):
+        q = np.asarray(describe.finalize_descriptors(
+            describe._bin_chunk_fast(sgx, sgy, th, cfg, bf16=bf16),
+            cfg)).astype(int)
+        d = np.abs(q - q_ref)
+        assert d.max() <= 1, f"bf16={bf16}: max step {d.max()}"
+        assert (d > 0).mean() < (0.05 if bf16 else 1e-3)
